@@ -1,0 +1,318 @@
+"""Sealed segment: the immutable structure-of-arrays inverted index.
+
+This is the TPU-native analog of the reference's sealed segment, which
+stores five page-chain "tapes" plus two address trees
+(crates/bm25/src/tuples.rs, flush.rs).  Here the same information lives in
+dense arrays resident in HBM:
+
+- token table        — TokenTuple analog   (tuples.rs:833-898)
+- block metadata     — SummaryTuple analog (tuples.rs:900-971)
+- padded block data  — BlockTuple analog   (tuples.rs:973-1069), stored
+  unpacked [B, 128] for VPU-friendly access (an optional bit-packed form
+  with a Pallas unpack kernel lives in ops/bitpack.py)
+- doc table          — DocumentTuple + doc address tree analog
+  (tuples.rs:756-831, 602-754): dense doc ids make the radix tree plain
+  array indexing
+- globals            — MetaTuple/JumpTuple analog (N, Σdl, k1, b, seed)
+
+Postings are cut into blocks of 128 like the reference (flush.rs:68-136);
+per-block and per-token max-impact (fieldnorm, tf) pairs are computed with
+the same first-maximum semantics as the reference's `Wand` tracker
+(bm25.rs:297-332).
+
+The build is a vectorized sort/segment pipeline (the flush analog,
+SURVEY.md §7): sort (key, doc, tf) triples, run-length the keys into the
+token table, reshape per-token runs into padded 128-blocks, and
+segment-reduce the block metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.fieldnorm import length_to_fieldnorm
+from ..models.scoring import ScoreTables, idf, tf as tf_score
+from ..text.intern import WIDTH, Document
+from ..utils.options import IndexOptions
+
+BLOCK = 128  # postings per block (reference flush.rs:68-136)
+
+__all__ = ["BLOCK", "SealedSegment", "build_sealed_segment"]
+
+
+@dataclass
+class SealedSegment:
+    """Immutable inverted index over dense doc slots [0, n_docs)."""
+
+    options: IndexOptions
+    n_docs: int
+    sum_dl: int
+
+    # Doc table.
+    doc_fieldnorm: np.ndarray  # [N] uint8
+    doc_payload: np.ndarray  # [N] int64 (opaque row ids; ctid analog)
+
+    # Token table (sorted by key; V entries).
+    token_keys: np.ndarray  # [V] |S16, strictly increasing
+    token_df: np.ndarray  # [V] int32
+    token_wand_fn: np.ndarray  # [V] uint8
+    token_wand_tf: np.ndarray  # [V] int32
+    token_block_start: np.ndarray  # [V+1] int32 CSR offsets into blocks
+
+    # Block metadata ([B] entries).
+    block_min_doc: np.ndarray  # [B] int32
+    block_max_doc: np.ndarray  # [B] int32
+    block_n: np.ndarray  # [B] int32 (1..=128)
+    block_wand_fn: np.ndarray  # [B] uint8
+    block_wand_tf: np.ndarray  # [B] int32
+
+    # Padded block data ([B, 128]); doc pad sentinel = n_docs, tf pad = 0.
+    block_docids: np.ndarray  # [B, 128] int32
+    block_tfs: np.ndarray  # [B, 128] int32
+
+    @property
+    def n_tokens(self) -> int:
+        return int(self.token_keys.size)
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.block_n.size)
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.sum_dl) / float(self.n_docs) if self.n_docs else 1.0
+
+    def score_tables(self) -> ScoreTables:
+        return ScoreTables.create(
+            self.options.k1, self.options.b, self.n_docs, self.sum_dl
+        )
+
+    def token_s0(self) -> np.ndarray:
+        """Per-token s0 = idf * (k1 + 1) (float64 [V])."""
+        return idf(self.n_docs, self.token_df) * (self.options.k1 + 1.0)
+
+    def lookup_tokens(self, keys: np.ndarray) -> np.ndarray:
+        """Map 16-byte keys -> token ids; missing keys -> -1.
+
+        The address_tokens B+-tree analog (crates/bm25/src/address_tokens.rs):
+        binary search over the sorted key array.
+        """
+        keys = np.asarray(keys, dtype=f"S{WIDTH}")
+        idxs = np.searchsorted(self.token_keys, keys)
+        idxs = np.minimum(idxs, max(self.n_tokens - 1, 0))
+        if self.n_tokens == 0:
+            return np.full(keys.shape, -1, dtype=np.int64)
+        found = self.token_keys[idxs] == keys
+        return np.where(found, idxs, -1)
+
+    def token_blocks(self, token_id: int) -> np.ndarray:
+        """Block ids of one token (CSR slice)."""
+        lo = int(self.token_block_start[token_id])
+        hi = int(self.token_block_start[token_id + 1])
+        return np.arange(lo, hi, dtype=np.int32)
+
+    def memory_bytes(self) -> int:
+        """Total bytes of the array-resident index (for memory-parity checks)."""
+        total = 0
+        for name in (
+            "doc_fieldnorm",
+            "doc_payload",
+            "token_keys",
+            "token_df",
+            "token_wand_fn",
+            "token_wand_tf",
+            "token_block_start",
+            "block_min_doc",
+            "block_max_doc",
+            "block_n",
+            "block_wand_fn",
+            "block_wand_tf",
+            "block_docids",
+            "block_tfs",
+        ):
+            total += getattr(self, name).nbytes
+        return total
+
+    def postings(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Invert back to sorted (token_id, doc_id, tf) triples.
+
+        Used by maintain/merge (the reference re-derives postings by
+        decompressing every block, maintain.rs:104-161); our blocks are
+        already decompressed arrays so this is a masked flatten.
+        """
+        valid = self.block_docids < self.n_docs
+        block_token = np.repeat(
+            np.arange(self.n_tokens, dtype=np.int32),
+            np.diff(self.token_block_start),
+        )
+        token_of = np.broadcast_to(block_token[:, None], self.block_docids.shape)
+        return (
+            token_of[valid].astype(np.int32),
+            self.block_docids[valid].astype(np.int32),
+            self.block_tfs[valid].astype(np.int32),
+        )
+
+
+def _empty_segment(options: IndexOptions) -> SealedSegment:
+    return SealedSegment(
+        options=options,
+        n_docs=0,
+        sum_dl=0,
+        doc_fieldnorm=np.zeros(0, dtype=np.uint8),
+        doc_payload=np.zeros(0, dtype=np.int64),
+        token_keys=np.zeros(0, dtype=f"S{WIDTH}"),
+        token_df=np.zeros(0, dtype=np.int32),
+        token_wand_fn=np.zeros(0, dtype=np.uint8),
+        token_wand_tf=np.zeros(0, dtype=np.int32),
+        token_block_start=np.zeros(1, dtype=np.int32),
+        block_min_doc=np.zeros(0, dtype=np.int32),
+        block_max_doc=np.zeros(0, dtype=np.int32),
+        block_n=np.zeros(0, dtype=np.int32),
+        block_wand_fn=np.zeros(0, dtype=np.uint8),
+        block_wand_tf=np.zeros(0, dtype=np.int32),
+        block_docids=np.zeros((0, BLOCK), dtype=np.int32),
+        block_tfs=np.zeros((0, BLOCK), dtype=np.int32),
+    )
+
+
+def build_sealed_segment(
+    documents: Sequence[Document],
+    payloads: Optional[Sequence[int]] = None,
+    options: Optional[IndexOptions] = None,
+    progress=None,
+) -> SealedSegment:
+    """Build a sealed segment from documents (the flush analog, flush.rs:40-190).
+
+    documents: per-doc sorted-unique (key, tf) vectors; doc slot = position.
+    payloads: opaque int64 row ids (default: the doc slot itself).
+    progress: optional callable(phase: str, done: int, total: int) mirroring
+        the reference's build progress reporting (am_build.rs:96-125).
+    """
+    options = options or IndexOptions()
+    n = len(documents)
+    if n == 0:
+        return _empty_segment(options)
+    if payloads is None:
+        payloads = np.arange(n, dtype=np.int64)
+    payloads = np.asarray(payloads, dtype=np.int64)
+    if payloads.shape != (n,):
+        raise ValueError("payloads must be one int64 per document")
+
+    # Pass 1 — records: doc lengths -> fieldnorms, N, Σdl (flush.rs:49-64).
+    lengths = np.fromiter(
+        (doc.length() for doc in documents), dtype=np.int64, count=n
+    )
+    fieldnorms = length_to_fieldnorm(lengths)
+    sum_dl = int(np.minimum(lengths, 0xFFFFFFFF).sum())
+    if progress is not None:
+        progress("records", n, n)
+
+    # Pass 2 — mappings: flatten (key, doc, tf) and sort by (key, doc).
+    counts = np.fromiter((len(d) for d in documents), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        seg = _empty_segment(options)
+        seg.n_docs = n
+        seg.sum_dl = sum_dl
+        seg.doc_fieldnorm = fieldnorms.astype(np.uint8)
+        seg.doc_payload = payloads
+        return seg
+
+    all_keys = np.concatenate([d.keys for d in documents]).astype(f"S{WIDTH}")
+    all_tfs = np.concatenate([d.values for d in documents]).astype(np.int64)
+    all_docs = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # Keys within each document are already sorted; global order needs
+    # (key, doc).  Doc ids are non-decreasing per key after a stable sort
+    # on key alone, because input is scanned in doc order.
+    order = np.argsort(all_keys, kind="stable")
+    s_keys = all_keys[order]
+    s_docs = all_docs[order]
+    s_tfs = all_tfs[order]
+    if progress is not None:
+        progress("sort", total, total)
+
+    # Token run-lengths -> token table.
+    boundary = np.empty(total, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = s_keys[1:] != s_keys[:-1]
+    token_first = np.flatnonzero(boundary)
+    token_keys = s_keys[token_first]
+    v = token_keys.size
+    token_df = np.diff(np.append(token_first, total)).astype(np.int64)
+
+    # Cut each token's run into 128-posting blocks (flush.rs:68-136).
+    token_of_posting = np.cumsum(boundary) - 1
+    rank_in_token = np.arange(total, dtype=np.int64) - token_first[token_of_posting]
+    blocks_per_token = (token_df + BLOCK - 1) // BLOCK
+    token_block_start = np.zeros(v + 1, dtype=np.int64)
+    np.cumsum(blocks_per_token, out=token_block_start[1:])
+    b = int(token_block_start[-1])
+    block_of_posting = token_block_start[token_of_posting] + rank_in_token // BLOCK
+    slot_in_block = rank_in_token % BLOCK
+
+    # Padded block data.
+    block_docids = np.full((b, BLOCK), n, dtype=np.int32)
+    block_tfs = np.zeros((b, BLOCK), dtype=np.int32)
+    block_docids[block_of_posting, slot_in_block] = s_docs
+    block_tfs[block_of_posting, slot_in_block] = s_tfs
+
+    # Block metadata: doc ranges and sizes.
+    block_n = np.zeros(b, dtype=np.int64)
+    np.add.at(block_n, block_of_posting, 1)
+    block_min_doc = block_docids[:, 0].astype(np.int64)
+    block_max_doc = block_docids[np.arange(b), block_n - 1].astype(np.int64)
+
+    # Max-impact (Wand) pairs, first-maximum semantics (bm25.rs:297-332).
+    avgdl = float(sum_dl) / float(n)
+    post_fn = fieldnorms[s_docs].astype(np.int64)
+    post_score = tf_score(post_fn, s_tfs, options.k1, options.b, avgdl)
+    # First index attaining the per-block max: sort by (block, -score, idx).
+    idx = np.arange(total, dtype=np.int64)
+    sel = np.lexsort((idx, -post_score, block_of_posting))
+    first_of_block = sel[
+        np.searchsorted(block_of_posting[sel], np.arange(b), side="left")
+    ]
+    block_wand_fn = post_fn[first_of_block].astype(np.uint8)
+    block_wand_tf = s_tfs[first_of_block].astype(np.int32)
+
+    # Token-level Wand = first block attaining the per-token max block score
+    # (equivalent to pushing every posting: earlier blocks with strictly
+    # smaller maxima cannot win, and within the winning block the block pair
+    # is already the first-attaining posting).
+    block_token = np.repeat(np.arange(v, dtype=np.int64), blocks_per_token)
+    bidx = np.arange(b, dtype=np.int64)
+    bscore = tf_score(
+        block_wand_fn.astype(np.int64), block_wand_tf, options.k1, options.b, avgdl
+    )
+    selt = np.lexsort((bidx, -bscore, block_token))
+    first_of_token = selt[
+        np.searchsorted(block_token[selt], np.arange(v), side="left")
+    ]
+    token_wand_fn = block_wand_fn[first_of_token]
+    token_wand_tf = block_wand_tf[first_of_token]
+    if progress is not None:
+        progress("write", b, b)
+
+    return SealedSegment(
+        options=options,
+        n_docs=n,
+        sum_dl=sum_dl,
+        doc_fieldnorm=fieldnorms.astype(np.uint8),
+        doc_payload=payloads,
+        token_keys=token_keys,
+        token_df=token_df.astype(np.int32),
+        token_wand_fn=token_wand_fn,
+        token_wand_tf=token_wand_tf,
+        token_block_start=token_block_start.astype(np.int32),
+        block_min_doc=block_min_doc.astype(np.int32),
+        block_max_doc=block_max_doc.astype(np.int32),
+        block_n=block_n.astype(np.int32),
+        block_wand_fn=block_wand_fn,
+        block_wand_tf=block_wand_tf,
+        block_docids=block_docids,
+        block_tfs=block_tfs,
+    )

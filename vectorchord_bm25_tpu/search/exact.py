@@ -1,0 +1,238 @@
+"""Exact batched BM25 search (engine v1) and the scoring oracle.
+
+For each query, gathers *all* posting blocks of all query terms, scores
+every posting on the VPU, scatter-adds into a per-query dense accumulator
+and takes top-k.  Exact BM25, used as:
+
+- the brute-force/oracle path (the reference's seqscan `<&>` ordering and
+  the fuzz oracle, tests/fuzz:203-280);
+- the growing-segment scoring path analog (search.rs:83-135);
+- the rank-parity baseline for the pruned engine v2.
+
+Semantics pinned to the reference:
+- query terms absent from the token table contribute nothing
+  (search.rs:54-62);
+- only documents with score > 0 are returned (Results starts with
+  threshold 0.0, search.rs:81);
+- ties broken by doc slot ascending (our pinned deterministic rule;
+  the reference's heap leaves ties unspecified).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.sealed import BLOCK, SealedSegment
+from ..text.intern import Query
+from .device import DeviceSegment
+
+__all__ = ["ExactEngine", "oracle_scores", "oracle_topk"]
+
+
+def _bucket(x: int, minimum: int = 8) -> int:
+    """Round up to a power of two (bounds jit cache size)."""
+    n = max(x, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_score_and_topk():
+    import jax
+
+    return jax.jit(_score_and_topk, static_argnames=("k", "n_docs"))
+
+
+def _score_and_topk(
+    block_docids,  # [B+1, 128] int32
+    block_tfs,  # [B+1, 128] int32
+    doc_fieldnorm,  # [N+1] int32
+    doc_live,  # [N+1] float32
+    s1_table,  # [256] float32
+    q_s0,  # [Q, T] float32 (0 for null slots)
+    blk_ids,  # [Q, P] int32 (pad = B)
+    blk_slot,  # [Q, P] int32 term slot of each block (pad = 0)
+    filter_mask,  # [N+1] float32 (1 keep)
+    k: int,
+    n_docs: int,
+):
+    import jax
+    import jax.numpy as jnp
+
+    d = block_docids[blk_ids]  # [Q, P, 128]
+    t = block_tfs[blk_ids].astype(jnp.float32)
+    fn = doc_fieldnorm[d]
+    s1 = s1_table[fn]
+    s0 = jnp.take_along_axis(q_s0, blk_slot, axis=1)[..., None]  # [Q, P, 1]
+    sc = jnp.where(t > 0.0, (t * s0) / (t + s1), 0.0)
+    sc = sc * doc_live[d]
+
+    def accumulate(docs_q, scores_q):
+        acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
+        return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
+
+    acc = jax.vmap(accumulate)(d, sc)  # [Q, N+1]
+    acc = acc * filter_mask[None, :]
+    acc = acc[:, :n_docs]
+    masked = jnp.where(acc > 0.0, acc, -jnp.inf)
+    scores, ids = jax.lax.top_k(masked, k)
+    return scores, ids
+
+
+class ExactEngine:
+    """Batched exact search over one sealed segment."""
+
+    def __init__(self, segment: SealedSegment, device=None):
+        self.segment = segment
+        self.dev = DeviceSegment.from_sealed(segment, device=device)
+
+    def set_deleted(self, deleted: np.ndarray) -> None:
+        self.dev.set_deleted(deleted)
+
+    def _prepare(self, queries: Sequence[Query]):
+        """Host-side batch assembly: term ids, padded block lists."""
+        seg = self.segment
+        q = len(queries)
+        term_ids: List[np.ndarray] = []
+        for query in queries:
+            ids = seg.lookup_tokens(query.keys)
+            term_ids.append(ids[ids >= 0].astype(np.int64))
+
+        t_max = _bucket(max((x.size for x in term_ids), default=1), 4)
+        starts = seg.token_block_start
+        block_lists = []
+        slot_lists = []
+        for ids in term_ids:
+            if ids.size:
+                los = starts[ids].astype(np.int64)
+                his = starts[ids + 1].astype(np.int64)
+                cnt = his - los
+                blocks = np.concatenate(
+                    [np.arange(lo, hi, dtype=np.int64) for lo, hi in zip(los, his)]
+                )
+                slots = np.repeat(np.arange(ids.size, dtype=np.int64), cnt)
+            else:
+                blocks = np.zeros(0, dtype=np.int64)
+                slots = np.zeros(0, dtype=np.int64)
+            block_lists.append(blocks)
+            slot_lists.append(slots)
+
+        p_max = _bucket(max((x.size for x in block_lists), default=1), 8)
+        s0_all = seg.token_s0()
+
+        q_s0 = np.zeros((q, t_max), dtype=np.float32)
+        blk_ids = np.full((q, p_max), seg.n_blocks, dtype=np.int32)
+        blk_slot = np.zeros((q, p_max), dtype=np.int32)
+        for i, ids in enumerate(term_ids):
+            if ids.size:
+                q_s0[i, : ids.size] = s0_all[ids].astype(np.float32)
+            nb = block_lists[i].size
+            if nb:
+                blk_ids[i, :nb] = block_lists[i]
+                blk_slot[i, :nb] = slot_lists[i]
+        return q_s0, blk_ids, blk_slot
+
+    def search(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Top-k for a batch of queries.
+
+        Returns (scores [Q,k] f32, doc_slots [Q,k] i64, payloads [Q,k] i64);
+        slots past the number of matching docs have score -inf, slot/payload -1.
+        filter_mask: optional [n_docs] bool — True keeps the doc (prefilter
+        semantics: applied before top-k so the threshold stays honest).
+        """
+        import jax.numpy as jnp
+
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        dev = self.dev
+        q_s0, blk_ids, blk_slot = self._prepare(queries)
+
+        if filter_mask is not None:
+            fm = np.ones(dev.n_docs + 1, dtype=np.float32)
+            fm[: dev.n_docs] = np.asarray(filter_mask, dtype=np.float32)
+            fm_dev = jnp.asarray(fm)
+        else:
+            fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
+
+        kk = min(_bucket(k, 1), max(dev.n_docs, 1))
+        scores, ids = _jitted_score_and_topk()(
+            dev.block_docids,
+            dev.block_tfs,
+            dev.doc_fieldnorm,
+            dev.doc_live,
+            dev.s1_table,
+            jnp.asarray(q_s0),
+            jnp.asarray(blk_ids),
+            jnp.asarray(blk_slot),
+            fm_dev,
+            k=kk,
+            n_docs=dev.n_docs,
+        )
+        scores = np.asarray(scores)[:, :k]
+        ids = np.asarray(ids, dtype=np.int64)[:, :k]
+        valid = np.isfinite(scores)
+        ids = np.where(valid, ids, -1)
+        payloads = np.where(
+            valid, np.asarray(dev.host.doc_payload)[np.maximum(ids, 0)], -1
+        )
+        return scores, ids, payloads
+
+
+def oracle_scores(
+    segment: SealedSegment,
+    query: Query,
+    deleted: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Dense per-doc BM25 scores, computed on host (float oracle).
+
+    With dtype=float32 and the same operation shapes as the device engine,
+    this matches the engine bit-for-bit; float64 gives the reference's host
+    precision for tolerance checks.
+    """
+    tables = segment.score_tables()
+    ids = segment.lookup_tokens(query.keys)
+    ids = ids[ids >= 0]
+    acc = np.zeros(segment.n_docs, dtype=dtype)
+    s0_all = segment.token_s0()
+    for tid in ids:
+        lo = int(segment.token_block_start[tid])
+        hi = int(segment.token_block_start[tid + 1])
+        docs = segment.block_docids[lo:hi].reshape(-1)
+        tfs = segment.block_tfs[lo:hi].reshape(-1)
+        mask = docs < segment.n_docs
+        docs, tfs = docs[mask], tfs[mask]
+        fn = segment.doc_fieldnorm[docs].astype(np.int64)
+        s0 = dtype(s0_all[tid])
+        t = tfs.astype(dtype)
+        s1 = tables.s1_table[fn].astype(dtype)
+        acc[docs] += (t * s0) / (t + s1)
+    if deleted is not None:
+        acc = np.where(deleted[: segment.n_docs], dtype(0), acc)
+    return acc
+
+
+def oracle_topk(
+    segment: SealedSegment,
+    query: Query,
+    k: int,
+    deleted: Optional[np.ndarray] = None,
+    filter_mask: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host top-k oracle with the pinned tie rule (score desc, doc asc)."""
+    scores = oracle_scores(segment, query, deleted, dtype)
+    if filter_mask is not None:
+        scores = np.where(np.asarray(filter_mask, dtype=bool), scores, 0)
+    keep = scores > 0
+    docs = np.flatnonzero(keep)
+    order = np.lexsort((docs, -scores[docs].astype(np.float64)))
+    top = docs[order[:k]]
+    return scores[top], top
