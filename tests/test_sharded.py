@@ -1,0 +1,80 @@
+"""Multi-device sharded index tests (8-device virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from vectorchord_bm25_tpu.index.sealed import build_sealed_segment
+from vectorchord_bm25_tpu.parallel.shard import ShardedIndex
+from vectorchord_bm25_tpu.search.exact import ExactEngine
+from vectorchord_bm25_tpu.text.intern import Query
+from vectorchord_bm25_tpu.utils.options import IndexOptions
+
+from test_exact import rank_match
+from test_sealed import make_docs
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("d",))
+
+
+class TestShardedIndex:
+    def test_matches_single_segment(self, rng, mesh8):
+        docs = make_docs(rng, 200, vocab=30)
+        options = IndexOptions()
+        single = ExactEngine(build_sealed_segment(docs, options=options))
+        sharded = ShardedIndex.build(docs, 8, options=options, mesh=mesh8)
+        assert sharded.n_docs == 200
+        assert sharded.sum_dl == single.segment.sum_dl
+
+        queries = [
+            Query.from_int_ids(rng.integers(0, 30, size=3).tolist())
+            for _ in range(4)
+        ]
+        k = 10
+        s_scores, s_ids, s_pay = sharded.search(queries, k)
+        e_scores, e_ids, e_pay = single.search(queries, k)
+        for qi in range(len(queries)):
+            got = s_ids[qi][s_ids[qi] >= 0]
+            expect = e_ids[qi][e_ids[qi] >= 0]
+            assert len(got) == len(expect)
+            rank_match(got, expect, s_scores[qi][: len(got)], e_scores[qi][: len(expect)])
+            np.testing.assert_allclose(
+                s_scores[qi][: len(got)], e_scores[qi][: len(expect)], rtol=2e-5
+            )
+
+    def test_global_df_semantics(self, rng, mesh8):
+        # A term concentrated in one shard must still use GLOBAL df for idf.
+        docs = make_docs(rng, 64, vocab=10)
+        sharded = ShardedIndex.build(docs, 8, mesh=mesh8)
+        single = ExactEngine(build_sealed_segment(docs))
+        # df in sharded global table equals single-segment df per key.
+        for i, key in enumerate(single.segment.token_keys):
+            j = np.searchsorted(sharded.token_keys, key)
+            assert sharded.token_keys[j] == key
+            assert sharded.token_df[j] == single.segment.token_df[i]
+
+    def test_payloads_and_empty_query(self, rng, mesh8):
+        docs = make_docs(rng, 40, vocab=5)
+        payloads = (np.arange(40) * 3 + 7).tolist()
+        sharded = ShardedIndex.build(docs, 8, payloads=payloads, mesh=mesh8)
+        scores, gids, pay = sharded.search([Query.from_int_ids([0])], 5)
+        for g, p in zip(gids[0], pay[0]):
+            if g >= 0:
+                assert p == payloads[g]
+        scores, gids, pay = sharded.search([Query.from_int_ids([12345])], 5)
+        assert np.all(gids == -1)
+
+    def test_global_stats_step(self, rng, mesh8):
+        docs = make_docs(rng, 100, vocab=10)
+        sharded = ShardedIndex.build(docs, 8, mesh=mesh8)
+        n, sdl, avgdl = sharded.global_stats_step()
+        assert n == 100
+        # Quantized sum: Σ decode(fieldnorm(dl)) <= Σ dl.
+        assert 0 < sdl <= sharded.sum_dl

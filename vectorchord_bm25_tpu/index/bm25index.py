@@ -1,0 +1,295 @@
+"""Bm25Index: the top-level mutable index facade.
+
+Combines the immutable sealed segment (device-resident, engine-scored)
+with the growing segment (host brute-force), a delete bitmap, and the
+maintain/merge cycle — the capability surface of the reference extension:
+
+    build       <- CREATE INDEX        (am_build.rs, bm25::build)
+    insert      <- aminsert            (insert.rs)
+    bulkdelete  <- ambulkdelete        (bulkdelete.rs)
+    maintain    <- amvacuumcleanup     (maintain.rs)
+    search      <- amgettuple top-k    (search.rs)
+    evaluate    <- the <&> operator    (evaluate.rs, operators.rs)
+
+Pinned semantics (see SURVEY.md §3):
+- results contain only docs with score > 0, at most k, ordered by
+  (score desc, insertion order asc);
+- inserted docs are visible to search immediately (growing brute force)
+  but scored with the sealed segment's statistics until maintain;
+- deleted docs are masked at scoring; maintain relabels live docs
+  (sealed slot order first, then growing insertion order) and re-flushes
+  everything into a fresh sealed segment;
+- `evaluate` returns the positive BM25 score of (document, query);
+  `operator_score` negates it (ORDER BY ascending = most relevant first,
+  operators.rs:22-55).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.fieldnorm import length_to_fieldnorm
+from ..models.scoring import idf as idf_fn, tf as tf_fn
+from ..search.exact import ExactEngine
+from ..text.intern import Document, Query, random_seed
+from ..utils.options import IndexOptions, SearchOptions, SessionConfig
+from .growing import GrowingSegment
+from .sealed import SealedSegment, build_sealed_segment
+
+__all__ = ["Bm25Index", "SearchHit"]
+
+
+class SearchHit(tuple):
+    """(score, payload) pair; score is the positive BM25 score."""
+
+    __slots__ = ()
+
+    def __new__(cls, score: float, payload: int):
+        return tuple.__new__(cls, (float(score), int(payload)))
+
+    @property
+    def score(self) -> float:
+        return self[0]
+
+    @property
+    def payload(self) -> int:
+        return self[1]
+
+    @property
+    def operator_score(self) -> float:
+        """The <&> operator value: negated score (operators.rs:54)."""
+        return -self[0]
+
+
+class Bm25Index:
+    def __init__(
+        self,
+        sealed: SealedSegment,
+        seed: bytes,
+        options: IndexOptions,
+        search_options: Optional[SearchOptions] = None,
+    ):
+        self.options = options
+        self.search_options = search_options or SearchOptions()
+        self.seed = seed
+        self.sealed = sealed
+        self.deleted = np.zeros(sealed.n_docs, dtype=bool)
+        self.growing = GrowingSegment(sealed)
+        self._engine: Optional[ExactEngine] = None
+        self._engine_deleted_dirty = False
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        documents: Sequence[Document],
+        payloads: Optional[Sequence[int]] = None,
+        options: Optional[IndexOptions] = None,
+        search_options: Optional[SearchOptions] = None,
+        seed: Optional[bytes] = None,
+        progress=None,
+    ) -> "Bm25Index":
+        """CREATE INDEX analog."""
+        options = options or IndexOptions()
+        seed = seed if seed is not None else random_seed()
+        sealed = build_sealed_segment(
+            list(documents), payloads=payloads, options=options, progress=progress
+        )
+        return cls(sealed, seed, options, search_options)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_docs(self) -> int:
+        """Live documents across sealed + growing."""
+        return int((~self.deleted).sum()) + self.growing.n_live
+
+    def engine(self) -> ExactEngine:
+        if self._engine is None:
+            self._engine = ExactEngine(self.sealed)
+            self._engine.set_deleted(self.deleted)
+            self._engine_deleted_dirty = False
+        elif self._engine_deleted_dirty:
+            self._engine.set_deleted(self.deleted)
+            self._engine_deleted_dirty = False
+        return self._engine
+
+    # ------------------------------------------------------------------
+    def insert(self, document: Document, payload: int) -> None:
+        """aminsert analog: append to the growing segment."""
+        self.growing.insert(document, payload)
+
+    def bulkdelete(self, predicate: Callable[[int], bool]) -> int:
+        """Mark docs whose payload matches; returns count marked
+        (bulkdelete.rs: flips deleted bits in both segments)."""
+        count = 0
+        for slot in range(self.sealed.n_docs):
+            if not self.deleted[slot] and predicate(
+                int(self.sealed.doc_payload[slot])
+            ):
+                self.deleted[slot] = True
+                count += 1
+        if count:
+            self._engine_deleted_dirty = True
+        count += self.growing.bulkdelete(predicate)
+        return count
+
+    def maintain(self, progress=None) -> None:
+        """Merge/compaction (maintain.rs): relabel live docs — sealed slot
+        order then growing insertion order — and re-flush into a fresh
+        sealed segment; the growing segment empties."""
+        docs: List[Document] = []
+        payloads: List[int] = []
+
+        # Pass A+B: live sealed docs, reconstructed from the inverted
+        # postings (the reference decompresses every block; our blocks are
+        # already arrays).
+        seg = self.sealed
+        if seg.n_docs:
+            tok, doc, tfv = seg.postings()
+            order = np.lexsort((tok, doc))  # group by doc, keys sorted
+            tok, doc, tfv = tok[order], doc[order], tfv[order]
+            bounds = np.searchsorted(doc, np.arange(seg.n_docs + 1))
+            for slot in range(seg.n_docs):
+                if self.deleted[slot]:
+                    continue
+                lo, hi = bounds[slot], bounds[slot + 1]
+                keys = seg.token_keys[tok[lo:hi]]
+                docs.append(
+                    Document(
+                        keys=keys, values=tfv[lo:hi].astype(np.uint32)
+                    )
+                )
+                payloads.append(int(seg.doc_payload[slot]))
+
+        # Pass C: live growing docs.
+        for payload, document in self.growing.live_documents():
+            docs.append(document)
+            payloads.append(payload)
+
+        new_sealed = build_sealed_segment(
+            docs, payloads=payloads, options=self.options, progress=progress
+        )
+        # Atomic generation swap (the jump-tuple swap analog).
+        self.sealed = new_sealed
+        self.deleted = np.zeros(new_sealed.n_docs, dtype=bool)
+        self.growing = GrowingSegment(new_sealed)
+        self._engine = None
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: Query,
+        k: Optional[int] = None,
+        filter_fn: Optional[Callable[[int], bool]] = None,
+        session: Optional[SessionConfig] = None,
+    ) -> List[SearchHit]:
+        """Top-k search merging sealed (device) and growing (host) results.
+
+        filter_fn: payload predicate evaluated inside retrieval (prefilter
+        semantics — the threshold stays honest under filtering).
+        """
+        if k is None:
+            k = (session or SessionConfig()).resolve_limit(self.search_options)
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+
+        # Sealed path.
+        sealed_hits: List[Tuple[float, int, int]] = []  # (score, order, payload)
+        if self.sealed.n_docs:
+            mask = None
+            if filter_fn is not None:
+                mask = np.fromiter(
+                    (filter_fn(int(p)) for p in self.sealed.doc_payload),
+                    dtype=bool,
+                    count=self.sealed.n_docs,
+                )
+            scores, slots, payloads = self.engine().search(
+                [query], k, filter_mask=mask
+            )
+            for s, slot, payload in zip(scores[0], slots[0], payloads[0]):
+                if slot >= 0:
+                    sealed_hits.append((float(s), int(slot), int(payload)))
+
+        # Growing path (scored with sealed stats).
+        g_scores, g_payloads = self.growing.score(query, filter_fn=filter_fn)
+        g_base = self.sealed.n_docs
+        growing_hits = [
+            (float(s), g_base + i, int(p))
+            for i, (s, p) in enumerate(zip(g_scores, g_payloads))
+            if s > 0.0
+        ]
+
+        merged = sealed_hits + growing_hits
+        merged.sort(key=lambda t: (-t[0], t[1]))
+        return [SearchHit(s, p) for s, _, p in merged[:k]]
+
+    def search_batch(
+        self, queries: Sequence[Query], k: int
+    ) -> List[List[SearchHit]]:
+        """Batched search (the TPU fast path); growing docs merged per query."""
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        out: List[List[SearchHit]] = []
+        if self.sealed.n_docs:
+            scores, slots, payloads = self.engine().search(list(queries), k)
+        else:
+            q = len(queries)
+            scores = np.full((q, k), -np.inf, dtype=np.float32)
+            slots = np.full((q, k), -1, dtype=np.int64)
+            payloads = np.full((q, k), -1, dtype=np.int64)
+        g_base = self.sealed.n_docs
+        for qi, query in enumerate(queries):
+            hits = [
+                (float(s), int(slot), int(p))
+                for s, slot, p in zip(scores[qi], slots[qi], payloads[qi])
+                if slot >= 0
+            ]
+            g_scores, g_payloads = self.growing.score(query)
+            hits += [
+                (float(s), g_base + i, int(p))
+                for i, (s, p) in enumerate(zip(g_scores, g_payloads))
+                if s > 0.0
+            ]
+            hits.sort(key=lambda t: (-t[0], t[1]))
+            out.append([SearchHit(s, p) for s, _, p in hits[:k]])
+        return out
+
+    # ------------------------------------------------------------------
+    def evaluate(self, document: Document, query: Query) -> float:
+        """Exact BM25 score of one (document, query) pair using the sealed
+        statistics (evaluate.rs:22-74).  Positive score; see
+        `operator_score` for the <&> convention."""
+        seg = self.sealed
+        if seg.n_docs == 0:
+            return 0.0
+        fieldnorm = int(length_to_fieldnorm(document.length()))
+        avgdl = seg.avgdl
+        tids = seg.lookup_tokens(document.keys)
+        q_tids = seg.lookup_tokens(query.keys)
+        doc_map = {
+            int(t): int(v)
+            for t, v in zip(tids, document.values)
+            if t >= 0
+        }
+        total = 0.0
+        for t in q_tids:
+            t = int(t)
+            if t < 0 or t not in doc_map:
+                continue
+            total += float(
+                idf_fn(seg.n_docs, int(seg.token_df[t]))
+                * tf_fn(
+                    fieldnorm,
+                    doc_map[t],
+                    self.options.k1,
+                    self.options.b,
+                    avgdl,
+                )
+            )
+        return total
+
+    def operator_score(self, document: Document, query: Query) -> float:
+        """The <&> operator: negative BM25 score (operators.rs:54)."""
+        return -self.evaluate(document, query)

@@ -1,0 +1,121 @@
+"""Growing segment: append-only buffer for freshly inserted documents.
+
+The reference appends inserted docs to a growing page chain scored by a
+brute-force pass during every search (crates/bm25/src/insert.rs,
+search.rs:83-135) until `maintain` merges them into the sealed segment.
+
+Semantics pinned to the reference:
+
+- growing docs are scored against the *sealed* segment's statistics
+  (df, N, avgdl): the token list used by the brute-force pass comes from
+  the sealed token table (search.rs:53-79), so terms that only exist in
+  growing documents contribute nothing until the next maintain;
+- the original (key, tf) vectors are retained so maintain can relabel and
+  re-flush them (maintain.rs:167-255).
+
+Host representation: a CSR of (sealed-term-id, tf) postings per growing
+doc (term id -1 for sealed-unknown terms) plus the original Documents.
+Scoring is a vectorized numpy pass (the growing segment stays small by
+design — maintain seals it).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models.fieldnorm import length_to_fieldnorm
+from ..text.intern import Document, Query
+from .sealed import SealedSegment
+
+__all__ = ["GrowingSegment"]
+
+
+class GrowingSegment:
+    def __init__(self, sealed: SealedSegment):
+        self.sealed = sealed
+        self.documents: List[Document] = []
+        self.payloads: List[int] = []
+        self.deleted: List[bool] = []
+        self.fieldnorms: List[int] = []
+        # CSR postings against the sealed token table.
+        self._tid: List[np.ndarray] = []
+        self._tf: List[np.ndarray] = []
+
+    def __len__(self) -> int:
+        return len(self.documents)
+
+    @property
+    def n_live(self) -> int:
+        return sum(not d for d in self.deleted)
+
+    def insert(self, document: Document, payload: int) -> int:
+        """Append one document (insert.rs:23-78 analog); returns its slot."""
+        tids = self.sealed.lookup_tokens(document.keys)
+        self.documents.append(document)
+        self.payloads.append(int(payload))
+        self.deleted.append(False)
+        self.fieldnorms.append(int(length_to_fieldnorm(document.length())))
+        self._tid.append(tids.astype(np.int64))
+        self._tf.append(document.values.astype(np.int64))
+        return len(self.documents) - 1
+
+    def bulkdelete(self, predicate) -> int:
+        """Mark growing docs whose payload matches (bulkdelete.rs:40-77)."""
+        count = 0
+        for i, payload in enumerate(self.payloads):
+            if not self.deleted[i] and predicate(payload):
+                self.deleted[i] = True
+                count += 1
+        return count
+
+    def score(
+        self,
+        query: Query,
+        filter_fn=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Brute-force scores for all live growing docs against the query.
+
+        Returns (scores float64 [G], payloads int64 [G]); scores use the
+        sealed segment's Cache tables (search.rs:83-135 semantics).
+        Deleted / filtered docs score 0 (and are thus excluded by the
+        score > 0 rule).
+        """
+        g = len(self.documents)
+        scores = np.zeros(g, dtype=np.float64)
+        if g == 0:
+            return scores, np.zeros(0, dtype=np.int64)
+
+        seg = self.sealed
+        q_tids = seg.lookup_tokens(query.keys)
+        q_tids = q_tids[q_tids >= 0]
+        if q_tids.size:
+            tables = seg.score_tables()
+            s0_all = seg.token_s0()
+            q_set = set(int(t) for t in q_tids)
+            for i in range(g):
+                if self.deleted[i]:
+                    continue
+                if filter_fn is not None and not filter_fn(self.payloads[i]):
+                    continue
+                tids = self._tid[i]
+                tfs = self._tf[i]
+                fn = self.fieldnorms[i]
+                total = 0.0
+                for t, v in zip(tids, tfs):
+                    if int(t) in q_set:
+                        total += float(
+                            tables.evaluate(s0_all[int(t)], fn, int(v))
+                        )
+                scores[i] = total
+        return scores, np.asarray(self.payloads, dtype=np.int64)
+
+    def live_documents(self) -> List[Tuple[int, Document]]:
+        """(payload, document) pairs of live docs, in insertion order
+        (maintain pass C ordering, maintain.rs:167-255)."""
+        return [
+            (self.payloads[i], self.documents[i])
+            for i in range(len(self.documents))
+            if not self.deleted[i]
+        ]

@@ -1,0 +1,404 @@
+"""Multi-chip sharded index: doc-sharded build and search over a jax Mesh.
+
+The reference's only parallel path is its data-parallel index build over
+Postgres DSM workers (src/index/bm25/am/am_build.rs:353-527) and one
+backend process per query.  The TPU-native design shards the *documents*
+across devices (SURVEY.md §2.8):
+
+- build: each device's corpus shard becomes an independent sealed segment
+  (the per-worker external-sort run analog); global doc ids are
+  shard-offset rebased exactly like the reference's k-way merge offset
+  rebasing (crates/bm25/src/io.rs:244-282); BM25 statistics (N, Σdl,
+  per-term df) are combined globally so idf/avgdl match a single-node
+  build bit-for-bit.
+- search: every device scores the replicated query batch against its doc
+  shard, then the per-shard top-k candidates are all-gathered over the
+  mesh axis and merged with a lexicographic (score desc, doc asc) sort —
+  the psum-style top-k combine.
+
+Device-side collectives ride ICI (all_gather inside shard_map); the host
+only orchestrates.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.sealed import BLOCK, SealedSegment, build_sealed_segment
+from ..models.scoring import ScoreTables, idf
+from ..text.intern import WIDTH, Document, Query
+from ..utils.options import IndexOptions
+
+__all__ = ["ShardedIndex"]
+
+
+def _pad_to(arr: np.ndarray, n: int, fill) -> np.ndarray:
+    if arr.shape[0] == n:
+        return arr
+    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)])
+
+
+def _bucket(x: int, minimum: int = 8) -> int:
+    n = max(x, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@dataclass
+class _ShardView:
+    """Host-side per-shard lookup state."""
+
+    segment: SealedSegment
+    doc_offset: int
+    # global token id -> local token id (-1 when the shard lacks the term)
+    local_tid: np.ndarray
+
+
+class ShardedIndex:
+    """Doc-sharded BM25 index over an n-device mesh axis.
+
+    Build: corpus split into contiguous shards; each shard is a sealed
+    segment; global stats (N, Σdl, df) are merged so scoring matches the
+    single-segment build exactly.
+    """
+
+    def __init__(
+        self,
+        shards: List[SealedSegment],
+        options: IndexOptions,
+        mesh=None,
+        axis: str = "d",
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        self.options = options
+        self.axis = axis
+        if mesh is None:
+            devs = np.array(jax.devices()[: len(shards)])
+            mesh = Mesh(devs, (axis,))
+        self.mesh = mesh
+        self.n_shards = len(shards)
+        if self.n_shards != mesh.devices.size:
+            raise ValueError("one shard per mesh device required")
+
+        # Global stats (the reference's single jump tuple).
+        self.n_docs = sum(s.n_docs for s in shards)
+        self.sum_dl = sum(s.sum_dl for s in shards)
+        offsets = np.cumsum([0] + [s.n_docs for s in shards])[:-1]
+
+        # Global token table: union of shard vocabularies, df summed.
+        all_keys = np.concatenate([s.token_keys for s in shards]).astype(
+            f"S{WIDTH}"
+        )
+        self.token_keys = np.unique(all_keys)  # sorted unique
+        vg = self.token_keys.size
+        self.token_df = np.zeros(vg, dtype=np.int64)
+        self.views: List[_ShardView] = []
+        for s, off in zip(shards, offsets):
+            gid = np.searchsorted(self.token_keys, s.token_keys)
+            self.token_df[gid] += s.token_df
+            local = np.full(vg, -1, dtype=np.int64)
+            local[gid] = np.arange(s.n_tokens)
+            self.views.append(
+                _ShardView(segment=s, doc_offset=int(off), local_tid=local)
+            )
+
+        self.tables = ScoreTables.create(
+            options.k1, options.b, self.n_docs, self.sum_dl
+        )
+        self.token_s0 = idf(self.n_docs, self.token_df) * (options.k1 + 1.0)
+
+        self._upload()
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        documents: Sequence[Document],
+        n_shards: int,
+        payloads: Optional[Sequence[int]] = None,
+        options: Optional[IndexOptions] = None,
+        mesh=None,
+    ) -> "ShardedIndex":
+        """Data-parallel build: contiguous corpus shards, offset-rebased
+        doc ids (io.rs:244-282 analog)."""
+        options = options or IndexOptions()
+        n = len(documents)
+        if payloads is None:
+            payloads = np.arange(n, dtype=np.int64)
+        payloads = np.asarray(payloads, dtype=np.int64)
+        bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+        shards = []
+        for i in range(n_shards):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            shards.append(
+                build_sealed_segment(
+                    list(documents[lo:hi]),
+                    payloads=payloads[lo:hi],
+                    options=options,
+                )
+            )
+        return cls(shards, options, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def _upload(self):
+        """Stack per-shard arrays (padded to uniform shape) with a leading
+        mesh dimension and place them sharded over the axis."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shards = [v.segment for v in self.views]
+        d = self.n_shards
+        nmax = max(max((s.n_docs for s in shards), default=1), 1)
+        bmax = max(max((s.n_blocks for s in shards), default=1), 1)
+
+        doc_fn = np.zeros((d, nmax + 1), dtype=np.int32)
+        doc_live = np.zeros((d, nmax + 1), dtype=np.float32)
+        blk_docs = np.zeros((d, bmax + 1, BLOCK), dtype=np.int32)
+        blk_tfs = np.zeros((d, bmax + 1, BLOCK), dtype=np.int32)
+        doc_offsets = np.zeros((d, 1), dtype=np.int32)
+        n_local = np.zeros((d, 1), dtype=np.int32)
+
+        for i, view in enumerate(self.views):
+            s = view.segment
+            n, b = s.n_docs, s.n_blocks
+            doc_fn[i, :n] = s.doc_fieldnorm
+            doc_live[i, :n] = 1.0
+            # pad docs (slots >= n) stay dead; blocks padded with pad-doc n.
+            blk_docs[i, :, :] = nmax  # beyond-local sentinel
+            blk_docs[i, :b] = np.where(
+                s.block_docids < n, s.block_docids, nmax
+            )
+            blk_tfs[i, :b] = s.block_tfs
+            doc_offsets[i, 0] = view.doc_offset
+            n_local[i, 0] = n
+
+        # Host-side payload mapping (device returns global doc ids; payloads
+        # stay int64 on host).
+        self.global_payloads = np.concatenate(
+            [v.segment.doc_payload for v in self.views]
+        ) if self.n_docs else np.zeros(0, dtype=np.int64)
+
+        def shard_put(x):
+            return jax.device_put(
+                x, NamedSharding(self.mesh, P(self.axis, *([None] * (x.ndim - 1))))
+            )
+
+        self._nmax = nmax
+        self._bmax = bmax
+        self.dev_doc_fn = shard_put(doc_fn)
+        self.dev_doc_live = shard_put(doc_live)
+        self.dev_blk_docs = shard_put(blk_docs)
+        self.dev_blk_tfs = shard_put(blk_tfs)
+        self.dev_doc_offsets = shard_put(doc_offsets)
+        self.dev_n_local = shard_put(n_local)
+        self.dev_s1 = jax.device_put(
+            self.tables.s1_table.astype(np.float32)
+        )  # replicated
+
+    # ------------------------------------------------------------------
+    def _prepare(self, queries: Sequence[Query]):
+        """Per-shard padded block lists for a replicated query batch."""
+        q = len(queries)
+        gids = []
+        for query in queries:
+            idxs = np.searchsorted(self.token_keys, query.keys)
+            idxs = np.minimum(idxs, max(self.token_keys.size - 1, 0))
+            if self.token_keys.size:
+                found = self.token_keys[idxs] == query.keys
+                gids.append(idxs[found].astype(np.int64))
+            else:
+                gids.append(np.zeros(0, dtype=np.int64))
+
+        t_max = _bucket(max((g.size for g in gids), default=1), 4)
+        q_s0 = np.zeros((q, t_max), dtype=np.float32)
+        for i, g in enumerate(gids):
+            if g.size:
+                q_s0[i, : g.size] = self.token_s0[g].astype(np.float32)
+
+        # Per-shard block lists referencing each shard's local blocks.
+        per_shard_blocks = []
+        per_shard_slots = []
+        p_needed = 1
+        for view in self.views:
+            s = view.segment
+            starts = s.token_block_start
+            blocks_q = []
+            slots_q = []
+            for g in gids:
+                lids = view.local_tid[g] if g.size else np.zeros(0, dtype=np.int64)
+                present = lids >= 0
+                slots_present = np.flatnonzero(present)
+                lids = lids[present]
+                if lids.size:
+                    los = starts[lids].astype(np.int64)
+                    his = starts[lids + 1].astype(np.int64)
+                    blocks = np.concatenate(
+                        [np.arange(lo, hi) for lo, hi in zip(los, his)]
+                    )
+                    slots = np.repeat(slots_present, his - los)
+                else:
+                    blocks = np.zeros(0, dtype=np.int64)
+                    slots = np.zeros(0, dtype=np.int64)
+                blocks_q.append(blocks)
+                slots_q.append(slots)
+                p_needed = max(p_needed, blocks.size)
+            per_shard_blocks.append(blocks_q)
+            per_shard_slots.append(slots_q)
+
+        p_max = _bucket(p_needed, 8)
+        blk_ids = np.full((self.n_shards, q, p_max), self._bmax, dtype=np.int32)
+        blk_slot = np.zeros((self.n_shards, q, p_max), dtype=np.int32)
+        for si in range(self.n_shards):
+            for qi in range(q):
+                blocks = per_shard_blocks[si][qi]
+                if blocks.size:
+                    blk_ids[si, qi, : blocks.size] = blocks
+                    blk_slot[si, qi, : blocks.size] = per_shard_slots[si][qi]
+        return q_s0, blk_ids, blk_slot
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _sharded_search_fn(self, k: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.axis
+        nmax = self._nmax
+
+        def local_and_merge(
+            blk_docs,  # [1, Bm+1, 128]
+            blk_tfs,
+            doc_fn,  # [1, Nm+1]
+            doc_live,
+            doc_offset,  # [1, 1]
+            blk_ids_s,  # [1, Q, P] per-shard local block ids
+            blk_slot_s,  # [1, Q, P]
+            q_s0,  # [Q, T] replicated
+            s1_table,  # [256] replicated
+        ):
+            blk_ids = blk_ids_s[0]
+            blk_slot = blk_slot_s[0]
+            bd = blk_docs[0]
+            bt = blk_tfs[0]
+            d = bd[blk_ids]  # [Q, P, 128]
+            t = bt[blk_ids].astype(jnp.float32)
+            fn = doc_fn[0][d]
+            s1 = s1_table[fn]
+            s0 = jnp.take_along_axis(q_s0, blk_slot, axis=1)[..., None]
+            sc = jnp.where(t > 0.0, (t * s0) / (t + s1), 0.0)
+            sc = sc * doc_live[0][d]
+
+            def accumulate(docs_q, scores_q):
+                acc = jnp.zeros(nmax + 1, dtype=jnp.float32)
+                return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
+
+            acc = jax.vmap(accumulate)(d, sc)[:, :nmax]
+            masked = jnp.where(acc > 0.0, acc, -jnp.inf)
+            l_scores, l_ids = jax.lax.top_k(masked, k)  # [Q, k]
+            invalid = jnp.int32(np.iinfo(np.int32).max)
+            g_ids = jnp.where(
+                jnp.isfinite(l_scores),
+                l_ids.astype(jnp.int32) + doc_offset[0, 0],
+                invalid,
+            )
+
+            # Collective merge over the mesh axis: all-gather candidates,
+            # lexicographic sort by (-score, global doc id) — the pinned
+            # deterministic tie rule.
+            a_scores = jax.lax.all_gather(l_scores, axis)  # [D, Q, k]
+            a_ids = jax.lax.all_gather(g_ids, axis)
+            dd = a_scores.shape[0]
+            c_scores = jnp.moveaxis(a_scores, 0, 1).reshape(-1, dd * k)
+            c_ids = jnp.moveaxis(a_ids, 0, 1).reshape(-1, dd * k)
+            neg, gid_s = jax.lax.sort((-c_scores, c_ids), num_keys=2)
+            return -neg[:, :k], gid_s[:, :k]
+
+        fn = shard_map(
+            local_and_merge,
+            mesh=self.mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(
+        self, queries: Sequence[Query], k: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched top-k over all shards; returns (scores, global doc ids,
+        payloads) with the pinned (score desc, doc asc) tie rule."""
+        import jax.numpy as jnp
+
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        q_s0, blk_ids, blk_slot = self._prepare(queries)
+        kk = min(_bucket(k, 1), max(self._nmax, 1))
+        scores, gids = self._sharded_search_fn(kk)(
+            self.dev_blk_docs,
+            self.dev_blk_tfs,
+            self.dev_doc_fn,
+            self.dev_doc_live,
+            self.dev_doc_offsets,
+            jnp.asarray(blk_ids),
+            jnp.asarray(blk_slot),
+            jnp.asarray(q_s0),
+            self.dev_s1,
+        )
+        scores = np.asarray(scores)[:, :k]
+        gids = np.asarray(gids, dtype=np.int64)[:, :k]
+        valid = np.isfinite(scores) & (scores > 0) & (gids < self.n_docs)
+        gids = np.where(valid, gids, -1)
+        payloads = np.where(
+            valid, self.global_payloads[np.maximum(gids, 0)], -1
+        )
+        return np.where(valid, scores, -np.inf), gids, payloads
+
+    # ------------------------------------------------------------------
+    def global_stats_step(self):
+        """Device-side build step: psum-combine per-shard (N, Σdl) over the
+        mesh (the DSM shared-stats analog) and return (N, Σdl, avgdl)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.axis
+
+        def step(n_local, doc_fn, doc_live):
+            from ..models.fieldnorm import FIELDNORM_TO_LENGTH
+
+            table = jnp.asarray(FIELDNORM_TO_LENGTH.astype(np.float64))
+            # float64 under enable_x64: exact for lengths < 2^53.
+            lengths = table[doc_fn[0]] * doc_live[0].astype(table.dtype)
+            local_sum = jnp.sum(lengths)
+            local_n = n_local[0, 0].astype(jnp.int32)
+            total_n = jax.lax.psum(local_n, axis)
+            total_dl = jax.lax.psum(local_sum, axis)
+            return total_n, total_dl
+
+        fn = shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        with jax.enable_x64(True):
+            n, sdl = jax.jit(fn)(
+                self.dev_n_local, self.dev_doc_fn, self.dev_doc_live
+            )
+            n, sdl = int(n), int(sdl)
+        return n, sdl, (sdl / n if n else 1.0)
