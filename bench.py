@@ -21,29 +21,58 @@ import time
 import numpy as np
 
 
-def synth_corpus(n_docs: int, vocab: int, avg_len: int, seed: int = 0):
-    """Zipf-distributed synthetic corpus built directly as term vectors."""
+def synth_corpus(
+    n_docs: int, vocab: int, avg_len: int, seed: int = 0, n_topics: int = 64
+):
+    """Synthetic corpus with realistic structure: Zipf term frequencies,
+    log-normal doc lengths, and topical clustering (each doc draws most
+    terms from its topic's vocabulary slice; docs are ordered by topic,
+    like crawl/URL-ordered real corpora).  Topic clustering is what gives
+    block-max pruning traction on real collections."""
     from vectorchord_bm25_tpu.text.intern import Document
 
     rng = np.random.default_rng(seed)
-    # Zipf ranks: common terms have high df (like real text).
-    lengths = np.maximum(4, rng.poisson(avg_len, size=n_docs))
+    shared = vocab // 5  # ids [0, shared) are corpus-wide common terms
+    topic_sz = (vocab - shared) // n_topics
+    lengths = np.maximum(
+        4, (avg_len * rng.lognormal(0.0, 0.6, size=n_docs)).astype(np.int64)
+    )
+    topic_of = np.sort(rng.integers(0, n_topics, size=n_docs))  # topic-ordered
     docs = []
     for i in range(n_docs):
-        ids = rng.zipf(1.3, size=lengths[i]) % vocab
-        keys, counts = np.unique(ids, return_counts=True)
-        docs.append(Document.from_int_ids(np.repeat(keys, counts).tolist()))
+        n_terms = int(lengths[i])
+        n_topical = int(n_terms * 0.6)
+        common = rng.zipf(1.3, size=n_terms - n_topical) % shared
+        topical = (
+            shared
+            + topic_of[i] * topic_sz
+            + (rng.zipf(1.3, size=n_topical) % topic_sz)
+        )
+        ids = np.concatenate([common, topical])
+        docs.append(Document.from_int_ids(ids.tolist()))
     return docs
 
 
-def synth_queries(n_queries: int, vocab: int, terms: int = 4, seed: int = 1):
+def synth_queries(docs, segment, n_queries: int, terms: int = 4, seed: int = 1):
+    """Realistic keyword queries: terms sampled from random documents,
+    weighted by idf — users type informative words, so real query-term df
+    distributions are idf-tilted relative to corpus frequency."""
     from vectorchord_bm25_tpu.text.intern import Query
 
     rng = np.random.default_rng(seed)
+    n = segment.n_docs
+    df_of = dict(zip(segment.token_keys.tolist(), segment.token_df.tolist()))
     out = []
     for _ in range(n_queries):
-        ids = rng.zipf(1.3, size=terms) % vocab
-        out.append(Query.from_int_ids(np.unique(ids).tolist()))
+        doc = docs[int(rng.integers(0, len(docs)))]
+        keys = doc.keys
+        dfs = np.asarray([df_of.get(k, 1) for k in keys.tolist()], dtype=np.float64)
+        w = np.log((n + 1.0) / (dfs + 0.5))
+        w = np.maximum(w, 1e-6) ** 2  # sharpen toward informative terms
+        w /= w.sum()
+        m = min(terms, len(keys))
+        picks = rng.choice(len(keys), size=m, replace=False, p=w)
+        out.append(Query(keys=np.sort(keys[np.sort(picks)])))
     return out
 
 
@@ -56,15 +85,23 @@ def main():
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument(
+        "--engine", choices=["exact", "blockmax"], default="blockmax"
+    )
+    parser.add_argument("--chunk", type=int, default=32)
     args = parser.parse_args()
 
     from vectorchord_bm25_tpu.index.sealed import build_sealed_segment
+    from vectorchord_bm25_tpu.search.blockmax import BlockMaxEngine
     from vectorchord_bm25_tpu.search.exact import ExactEngine
 
     docs = synth_corpus(args.docs, args.vocab, args.avg_len)
     seg = build_sealed_segment(docs)
-    engine = ExactEngine(seg)
-    queries = synth_queries(args.queries, args.vocab)
+    if args.engine == "blockmax":
+        engine = BlockMaxEngine(seg, chunk=args.chunk)
+    else:
+        engine = ExactEngine(seg)
+    queries = synth_queries(docs, seg, args.queries)
 
     batches = [
         queries[i : i + args.batch] for i in range(0, len(queries), args.batch)

@@ -70,14 +70,18 @@ class Bm25Index:
         seed: bytes,
         options: IndexOptions,
         search_options: Optional[SearchOptions] = None,
+        engine: str = "blockmax",
     ):
+        if engine not in ("exact", "blockmax"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.options = options
         self.search_options = search_options or SearchOptions()
         self.seed = seed
         self.sealed = sealed
         self.deleted = np.zeros(sealed.n_docs, dtype=bool)
         self.growing = GrowingSegment(sealed)
-        self._engine: Optional[ExactEngine] = None
+        self.engine_kind = engine
+        self._engine = None
         self._engine_deleted_dirty = False
 
     # ------------------------------------------------------------------
@@ -89,6 +93,7 @@ class Bm25Index:
         options: Optional[IndexOptions] = None,
         search_options: Optional[SearchOptions] = None,
         seed: Optional[bytes] = None,
+        engine: str = "blockmax",
         progress=None,
     ) -> "Bm25Index":
         """CREATE INDEX analog."""
@@ -97,7 +102,7 @@ class Bm25Index:
         sealed = build_sealed_segment(
             list(documents), payloads=payloads, options=options, progress=progress
         )
-        return cls(sealed, seed, options, search_options)
+        return cls(sealed, seed, options, search_options, engine=engine)
 
     # ------------------------------------------------------------------
     @property
@@ -105,9 +110,14 @@ class Bm25Index:
         """Live documents across sealed + growing."""
         return int((~self.deleted).sum()) + self.growing.n_live
 
-    def engine(self) -> ExactEngine:
+    def engine(self):
         if self._engine is None:
-            self._engine = ExactEngine(self.sealed)
+            if self.engine_kind == "blockmax":
+                from ..search.blockmax import BlockMaxEngine
+
+                self._engine = BlockMaxEngine(self.sealed)
+            else:
+                self._engine = ExactEngine(self.sealed)
             self._engine.set_deleted(self.deleted)
             self._engine_deleted_dirty = False
         elif self._engine_deleted_dirty:

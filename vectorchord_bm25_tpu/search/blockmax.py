@@ -1,0 +1,319 @@
+"""Block-Max pruned batched search (engine v2).
+
+The vectorized equivalent of the reference's Block-WeakAnd main loop
+(search.rs:151-280).  Where the reference serially picks a pivot from a
+cursor heap and tests Σ block upper bounds against the top-k threshold,
+this engine:
+
+1. scatter-adds each query term's per-range max scores into a dense
+   [n_ranges] upper-bound vector (Σ_t max_score(t, range) — the batched
+   analog of "sum of block upper bounds at the pivot");
+2. in a lax.while_loop, takes the C highest-bound unprocessed ranges,
+   exact-scores *all* their postings with fixed-size masked window
+   gathers, merges into the running top-k with a lexicographic
+   (score desc, doc asc) sort, and raises the threshold;
+3. stops when no remaining range's bound exceeds the threshold — every
+   skipped range provably contains no top-k document, so the result is
+   the exact top-k (the same conservative-pruning guarantee as the
+   reference's seek/skip dance).
+
+All index metadata (flat postings + per-(term, range) CSR) is resident in
+device HBM; a query batch ships only its [Q, T] term ids, so the
+host↔device path stays off the critical loop.  All shapes are static; the
+data-dependent part is only the trip count of the while_loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.ranges import RangeIndex, build_range_index
+from ..index.sealed import SealedSegment
+from ..text.intern import Query
+from .device import DeviceSegment
+
+__all__ = ["BlockMaxEngine"]
+
+_INT_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+def _bucket(x: int, minimum: int = 8) -> int:
+    n = max(x, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def _blockmax_kernel(
+    post_docid,  # [P] int32 flat postings (pad = n_docs)
+    post_tf,  # [P] int32
+    doc_fieldnorm,  # [N+1] int32
+    doc_live,  # [N+1] float32
+    filter_mask,  # [N+1] float32
+    s1_table,  # [256] float32
+    token_s0,  # [V+1] float32 (null term: 0)
+    tr_range,  # [M+1] int32 (pad slot: INT_MAX)
+    tr_start,  # [M+1] int32
+    tr_len,  # [M+1] int32
+    tr_ub,  # [M+1] float32
+    token_tr_start,  # [V+2] int32 CSR
+    q_tid,  # [Q, T] int32 (pad = V, the null term)
+    *,
+    k: int,
+    chunk: int,
+    lmax: int,
+    range_size: int,
+    n_ranges: int,
+    n_docs: int,
+    max_rounds: int,
+):
+    import jax
+    import jax.numpy as jnp
+
+    q, t = q_tid.shape
+    rs = range_size
+    c = chunk
+    m_pad = tr_range.shape[0] - 1  # index of the pad slot
+
+    # Gather each query term's (range, span, ub) window from the CSR.
+    base = token_tr_start[q_tid]  # [Q, T]
+    count = token_tr_start[q_tid + 1] - base
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (q, t, lmax), 2)
+    widx = jnp.minimum(base[..., None] + l_iota, m_pad)
+    lmask = l_iota < count[..., None]
+    qt_range = jnp.where(lmask, tr_range[widx], _INT_MAX)  # ascending per (q,t)
+    qt_start = jnp.where(lmask, tr_start[widx], 0)
+    qt_len = jnp.where(lmask, tr_len[widx], 0)
+    qt_ub = jnp.where(lmask, tr_ub[widx], 0.0)
+    q_s0 = token_s0[q_tid]  # [Q, T]
+
+    # Phase 1: dense per-range upper bounds (Σ over terms).
+    flat_r = qt_range.reshape(q, t * lmax)
+    flat_u = qt_ub.reshape(q, t * lmax)
+    safe_r = jnp.where(flat_r == _INT_MAX, n_ranges, flat_r)
+
+    def scatter_ub(ranges_q, ub_q):
+        acc = jnp.zeros(n_ranges + 1, dtype=jnp.float32)
+        return acc.at[ranges_q].add(ub_q)
+
+    ub_work = jax.vmap(scatter_ub)(safe_r, flat_u)[:, :n_ranges]  # [Q, R]
+
+    topk_s0 = jnp.full((q, k), -jnp.inf, dtype=jnp.float32)
+    topk_d0 = jnp.full((q, k), _INT_MAX, dtype=jnp.int32)
+
+    rs_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, rs), 3)
+
+    def threshold(topk_s):
+        kth = topk_s[:, k - 1]
+        return jnp.maximum(kth, 0.0)  # score>0 rule: threshold starts at 0
+
+    def cond(state):
+        ub_work, topk_s, topk_d, rounds = state
+        return jnp.logical_and(
+            rounds < max_rounds,
+            jnp.any(jnp.max(ub_work, axis=1) > threshold(topk_s)),
+        )
+
+    def body(state):
+        ub_work, topk_s, topk_d, rounds = state
+        cand_ub, cand_r = jax.lax.top_k(ub_work, c)  # [Q, C]
+        ub_next = jax.vmap(
+            lambda w, r: w.at[r].set(-jnp.inf)
+        )(ub_work, cand_r)
+
+        # A chunk can be partially refilled with already-processed (-inf)
+        # ranges once few unprocessed ones remain — they must not be
+        # rescored (duplicates in the top-k otherwise).  Ranges at or
+        # below the current threshold cannot contribute either.
+        cand_ok = cand_ub > threshold(topk_s)[:, None]  # [Q, C]
+
+        # Locate each (query term, candidate range) posting span.
+        def locate(qt_range_q, cand_q):
+            def per_term(ranges_t):
+                i = jnp.searchsorted(ranges_t, cand_q)
+                return jnp.minimum(i, lmax - 1)
+
+            return jax.vmap(per_term)(qt_range_q)  # [T, C]
+
+        idx = jax.vmap(locate)(qt_range, cand_r)  # [Q, T, C]
+        hit_r = jnp.take_along_axis(qt_range, idx, axis=2)
+        found = (hit_r == cand_r[:, None, :]) & cand_ok[:, None, :]
+        start = jnp.where(found, jnp.take_along_axis(qt_start, idx, axis=2), 0)
+        length = jnp.where(found, jnp.take_along_axis(qt_len, idx, axis=2), 0)
+
+        # Gather fixed windows [Q, T, C, RS] from the flat postings.
+        gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
+        valid = rs_iota < length[..., None]
+        d = post_docid[gidx]
+        tf = post_tf[gidx].astype(jnp.float32)
+        fn = doc_fieldnorm[d]
+        s1 = s1_table[fn]
+        s0 = q_s0[:, :, None, None]
+        sc = jnp.where(valid & (tf > 0.0), (tf * s0) / (tf + s1), 0.0)
+        sc = sc * doc_live[d] * filter_mask[d]
+
+        # Per-range local accumulation: local slot = doc - range*RS.
+        local = jnp.clip(d - cand_r[:, None, :, None] * rs, 0, rs - 1)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
+        acc = jnp.zeros((q, c, rs), dtype=jnp.float32)
+        acc = acc.at[qi, ci, local].add(sc)
+
+        # Candidate docs + merge with running top-k.
+        cand_docs = cand_r[:, :, None] * rs + jax.lax.broadcasted_iota(
+            jnp.int32, (q, c, rs), 2
+        )
+        flat_s = acc.reshape(q, c * rs)
+        flat_d = cand_docs.reshape(q, c * rs)
+        ok = (flat_s > 0.0) & (flat_d < n_docs)
+        flat_s = jnp.where(ok, flat_s, -jnp.inf)
+        flat_d = jnp.where(ok, flat_d, _INT_MAX)
+
+        all_s = jnp.concatenate([topk_s, flat_s], axis=1)
+        all_d = jnp.concatenate([topk_d, flat_d], axis=1)
+        neg, d_sorted = jax.lax.sort((-all_s, all_d), num_keys=2)
+        return ub_next, -neg[:, :k], d_sorted[:, :k], rounds + 1
+
+    ub_work, topk_s, topk_d, rounds = jax.lax.while_loop(
+        cond, body, (ub_work, topk_s0, topk_d0, jnp.int32(0))
+    )
+    return topk_s, topk_d, rounds
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_kernel():
+    import jax
+
+    return jax.jit(
+        _blockmax_kernel,
+        static_argnames=(
+            "k", "chunk", "lmax", "range_size", "n_ranges", "n_docs",
+            "max_rounds",
+        ),
+    )
+
+
+class BlockMaxEngine:
+    """Batched Block-Max pruned search over one sealed segment."""
+
+    def __init__(
+        self,
+        segment: SealedSegment,
+        range_index: Optional[RangeIndex] = None,
+        chunk: int = 64,
+        device=None,
+    ):
+        import jax.numpy as jnp
+
+        self.segment = segment
+        self.ranges = range_index or build_range_index(segment)
+        self.chunk = chunk
+        self.dev = DeviceSegment.from_sealed(segment, device=device)
+
+        ri = self.ranges
+        v = segment.n_tokens
+        m = ri.tr_range.size
+        # CSR with null-term entry (token id V: empty window) + pad slot M.
+        tts = np.zeros(v + 2, dtype=np.int32)
+        tts[: v + 1] = ri.token_tr_start
+        tts[v + 1] = tts[v]
+        self.dev_post_docid = jnp.asarray(ri.post_docid)
+        self.dev_post_tf = jnp.asarray(ri.post_tf)
+        self.dev_tr_range = jnp.asarray(
+            np.append(ri.tr_range, _INT_MAX).astype(np.int32)
+        )
+        self.dev_tr_start = jnp.asarray(
+            np.append(ri.tr_start, 0).astype(np.int32)
+        )
+        self.dev_tr_len = jnp.asarray(np.append(ri.tr_len, 0).astype(np.int32))
+        self.dev_tr_ub = jnp.asarray(
+            np.append(ri.tr_ub, 0.0).astype(np.float32)
+        )
+        self.dev_token_tr_start = jnp.asarray(tts)
+        # Per-term L (for the lmax bucket) and s0.
+        self._term_l = np.diff(ri.token_tr_start)
+        s0 = np.zeros(v + 1, dtype=np.float32)
+        if v:
+            s0[:v] = segment.token_s0().astype(np.float32)
+        self.dev_token_s0 = jnp.asarray(s0)
+
+    def set_deleted(self, deleted: np.ndarray) -> None:
+        self.dev.set_deleted(deleted)
+
+    def _prepare(self, queries: Sequence[Query]):
+        """Host prep: only term-id lookup; everything else is on device."""
+        seg = self.segment
+        qn = len(queries)
+        term_ids = []
+        for query in queries:
+            ids = seg.lookup_tokens(query.keys)
+            term_ids.append(ids[ids >= 0].astype(np.int64))
+        t_max = _bucket(max((x.size for x in term_ids), default=1), 4)
+        l_needed = 1
+        q_tid = np.full((qn, t_max), seg.n_tokens, dtype=np.int32)
+        for i, ids in enumerate(term_ids):
+            q_tid[i, : ids.size] = ids
+            if ids.size:
+                l_needed = max(l_needed, int(self._term_l[ids].max()))
+        return q_tid, _bucket(l_needed, 8)
+
+    def search(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact top-k via block-max pruning.
+
+        Same result contract as ExactEngine.search (scores desc, doc slots,
+        payloads; -inf/-1 padding).
+        """
+        import jax.numpy as jnp
+
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        dev = self.dev
+        ri = self.ranges
+        q_tid, lmax = self._prepare(queries)
+
+        if filter_mask is not None:
+            fm = np.ones(dev.n_docs + 1, dtype=np.float32)
+            fm[: dev.n_docs] = np.asarray(filter_mask, dtype=np.float32)
+            fm_dev = jnp.asarray(fm)
+        else:
+            fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
+
+        kk = min(_bucket(k, 1), max(dev.n_docs, 1))
+        max_rounds = -(-ri.n_ranges // self.chunk) + 1
+        scores, ids, rounds = _jitted_kernel()(
+            self.dev_post_docid,
+            self.dev_post_tf,
+            dev.doc_fieldnorm,
+            dev.doc_live,
+            fm_dev,
+            dev.s1_table,
+            self.dev_token_s0,
+            self.dev_tr_range,
+            self.dev_tr_start,
+            self.dev_tr_len,
+            self.dev_tr_ub,
+            self.dev_token_tr_start,
+            jnp.asarray(q_tid),
+            k=kk,
+            chunk=min(self.chunk, ri.n_ranges),
+            lmax=lmax,
+            range_size=ri.range_size,
+            n_ranges=ri.n_ranges,
+            n_docs=dev.n_docs,
+            max_rounds=max_rounds,
+        )
+        self.last_rounds = int(rounds)
+        scores = np.asarray(scores)[:, :k]
+        ids = np.asarray(ids, dtype=np.int64)[:, :k]
+        valid = np.isfinite(scores) & (ids < self.segment.n_docs)
+        ids = np.where(valid, ids, -1)
+        payloads = np.where(
+            valid, self.segment.doc_payload[np.maximum(ids, 0)], -1
+        )
+        return np.where(valid, scores, -np.inf), ids, payloads
