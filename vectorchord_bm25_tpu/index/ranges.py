@@ -44,6 +44,13 @@ class RangeIndex:
     post_docid: np.ndarray  # [total + range_size] int32 (pad = n_docs)
     post_tf: np.ndarray  # [total + range_size] int32 (pad = 0)
 
+    # Compact forms (the byte-packing analog, compression.rs:52-62): doc
+    # ids stored range-relative in one byte (requires range_size <= 256),
+    # term frequencies saturated to uint16.  These are what the pruned
+    # engine keeps in HBM — 3 bytes/posting instead of 8.
+    post_local: np.ndarray  # [total + range_size] uint8 (doc - range*RS)
+    post_tf16: np.ndarray  # [total + range_size] uint16 (min(tf, 65535))
+
     # Per-(term, range) groups, term-major then range-ascending.
     tr_range: np.ndarray  # [M] int32 range id
     tr_start: np.ndarray  # [M] int32 offset into post_* arrays
@@ -53,10 +60,16 @@ class RangeIndex:
     # CSR: token id -> slice of tr_* arrays.
     token_tr_start: np.ndarray  # [V+1] int64
 
-    def memory_bytes(self) -> int:
+    def memory_bytes(self, compact: bool = True) -> int:
+        """Device-resident bytes for the pruned engine (compact postings
+        by default; the u32 arrays are host-side build/compat forms)."""
+        postings = (
+            self.post_local.nbytes + self.post_tf16.nbytes
+            if compact
+            else self.post_docid.nbytes + self.post_tf.nbytes
+        )
         return (
-            self.post_docid.nbytes
-            + self.post_tf.nbytes
+            postings
             + self.tr_range.nbytes
             + self.tr_start.nbytes
             + self.tr_len.nbytes
@@ -69,6 +82,8 @@ def build_range_index(
     seg: SealedSegment, range_size: int = RANGE
 ) -> RangeIndex:
     """Derive the range index from a sealed segment's postings."""
+    if not (1 <= range_size <= 256):
+        raise ValueError("range_size must be in [1, 256] (u8 local ids)")
     n = seg.n_docs
     n_ranges = max(1, -(-max(n, 1) // range_size))
     tok, doc, tfv = seg.postings()
@@ -80,6 +95,8 @@ def build_range_index(
             n_ranges=n_ranges,
             post_docid=np.full(range_size, n, dtype=np.int32),
             post_tf=np.zeros(range_size, dtype=np.int32),
+            post_local=np.zeros(range_size, dtype=np.uint8),
+            post_tf16=np.zeros(range_size, dtype=np.uint16),
             tr_range=np.zeros(0, dtype=np.int32),
             tr_start=np.zeros(0, dtype=np.int32),
             tr_len=np.zeros(0, dtype=np.int32),
@@ -120,11 +137,21 @@ def build_range_index(
 
     pad_doc = np.full(range_size, n, dtype=np.int32)
     pad_tf = np.zeros(range_size, dtype=np.int32)
+    local = (doc.astype(np.int64) - rng_of * range_size).astype(np.uint8)
     return RangeIndex(
         range_size=range_size,
         n_ranges=n_ranges,
         post_docid=np.concatenate([doc.astype(np.int32), pad_doc]),
         post_tf=np.concatenate([tfv.astype(np.int32), pad_tf]),
+        post_local=np.concatenate(
+            [local, np.zeros(range_size, dtype=np.uint8)]
+        ),
+        post_tf16=np.concatenate(
+            [
+                np.minimum(tfv, 0xFFFF).astype(np.uint16),
+                np.zeros(range_size, dtype=np.uint16),
+            ]
+        ),
         tr_range=rng_of[starts].astype(np.int32),
         tr_start=starts.astype(np.int32),
         tr_len=lens.astype(np.int32),

@@ -46,8 +46,8 @@ def _bucket(x: int, minimum: int = 8) -> int:
 
 
 def _blockmax_kernel(
-    post_docid,  # [P] int32 flat postings (pad = n_docs)
-    post_tf,  # [P] int32
+    post_local,  # [P] uint8 range-relative doc ids (compact postings)
+    post_tf,  # [P] uint16 term frequencies (saturated)
     doc_fieldnorm,  # [N+1] int32
     doc_live,  # [N+1] float32
     filter_mask,  # [N+1] float32
@@ -142,19 +142,20 @@ def _blockmax_kernel(
         start = jnp.where(found, jnp.take_along_axis(qt_start, idx, axis=2), 0)
         length = jnp.where(found, jnp.take_along_axis(qt_len, idx, axis=2), 0)
 
-        # Gather fixed windows [Q, T, C, RS] from the flat postings.
+        # Gather fixed windows [Q, T, C, RS] from the compact flat
+        # postings; global doc id = range*RS + local (the byte-packed
+        # form decodes with one fused add — no bit unpacking on the VPU).
         gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
         valid = rs_iota < length[..., None]
-        d = post_docid[gidx]
+        local = post_local[gidx].astype(jnp.int32)
+        d_raw = cand_r[:, None, :, None] * rs + local
+        d = jnp.where(valid, jnp.minimum(d_raw, n_docs), n_docs)
         tf = post_tf[gidx].astype(jnp.float32)
         fn = doc_fieldnorm[d]
         s1 = s1_table[fn]
         s0 = q_s0[:, :, None, None]
         sc = jnp.where(valid & (tf > 0.0), (tf * s0) / (tf + s1), 0.0)
         sc = sc * doc_live[d] * filter_mask[d]
-
-        # Per-range local accumulation: local slot = doc - range*RS.
-        local = jnp.clip(d - cand_r[:, None, :, None] * rs, 0, rs - 1)
         qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
         acc = jnp.zeros((q, c, rs), dtype=jnp.float32)
@@ -209,17 +210,20 @@ class BlockMaxEngine:
         self.segment = segment
         self.ranges = range_index or build_range_index(segment)
         self.chunk = chunk
-        self.dev = DeviceSegment.from_sealed(segment, device=device)
+        # Pruned engine needs only the doc tables, not the [B, 128] block
+        # arrays (its postings live in the compact flat arrays).
+        self.dev = DeviceSegment.from_sealed(
+            segment, device=device, with_blocks=False
+        )
 
         ri = self.ranges
         v = segment.n_tokens
-        m = ri.tr_range.size
         # CSR with null-term entry (token id V: empty window) + pad slot M.
         tts = np.zeros(v + 2, dtype=np.int32)
         tts[: v + 1] = ri.token_tr_start
         tts[v + 1] = tts[v]
-        self.dev_post_docid = jnp.asarray(ri.post_docid)
-        self.dev_post_tf = jnp.asarray(ri.post_tf)
+        self.dev_post_local = jnp.asarray(ri.post_local)
+        self.dev_post_tf16 = jnp.asarray(ri.post_tf16)
         self.dev_tr_range = jnp.asarray(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
         )
@@ -240,6 +244,21 @@ class BlockMaxEngine:
 
     def set_deleted(self, deleted: np.ndarray) -> None:
         self.dev.set_deleted(deleted)
+
+    def memory_report(self) -> dict:
+        """Device-resident index bytes (the equal-index-memory metric)."""
+        seg = self.segment
+        doc_tables = 2 * 4 * (seg.n_docs + 1)  # fieldnorm + live (f32/i32)
+        token_tables = 4 * (seg.n_tokens + 1) + 4 * (seg.n_tokens + 2)
+        postings = self.ranges.memory_bytes(compact=True)
+        return {
+            "postings_and_range_meta": postings,
+            "doc_tables": doc_tables,
+            "token_tables": token_tables,
+            "total": postings + doc_tables + token_tables,
+            "bytes_per_posting": postings
+            / max(1, self.ranges.post_local.size - self.ranges.range_size),
+        }
 
     def _prepare(self, queries: Sequence[Query]):
         """Host prep: only term-id lookup; everything else is on device."""
@@ -287,8 +306,8 @@ class BlockMaxEngine:
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
         max_rounds = -(-ri.n_ranges // self.chunk) + 1
         scores, ids, rounds = _jitted_kernel()(
-            self.dev_post_docid,
-            self.dev_post_tf,
+            self.dev_post_local,
+            self.dev_post_tf16,
             dev.doc_fieldnorm,
             dev.doc_live,
             fm_dev,

@@ -63,10 +63,15 @@ class DeviceSegment:
         seg: SealedSegment,
         deleted: Optional[np.ndarray] = None,
         device=None,
+        with_blocks: bool = True,
     ) -> "DeviceSegment":
+        """with_blocks=False skips uploading the [B, 128] block arrays
+        (engines that read the compact flat postings don't need them)."""
         import jax.numpy as jnp
 
         n, v, b = seg.n_docs, seg.n_tokens, seg.n_blocks
+        if not with_blocks:
+            b = 0
         tables = seg.score_tables()
 
         doc_fn = np.zeros(n + 1, dtype=np.int32)
@@ -80,12 +85,13 @@ class DeviceSegment:
 
         bd = np.full((b + 1, BLOCK), n, dtype=np.int32)
         bt = np.zeros((b + 1, BLOCK), dtype=np.int32)
-        bd[:b] = seg.block_docids
-        bt[:b] = seg.block_tfs
         bmin = np.full(b + 1, np.iinfo(np.int32).max, dtype=np.int32)
         bmax = np.full(b + 1, np.iinfo(np.int32).max, dtype=np.int32)
-        bmin[:b] = seg.block_min_doc
-        bmax[:b] = seg.block_max_doc
+        if b:
+            bd[:b] = seg.block_docids
+            bt[:b] = seg.block_tfs
+            bmin[:b] = seg.block_min_doc
+            bmax[:b] = seg.block_max_doc
 
         s0_full = np.zeros(v + 1, dtype=np.float64)
         if v:
