@@ -110,6 +110,25 @@ class TestBlockMaxEngine:
         assert len(g1) == len(g2)
         rank_match(g2, g1, s2_[0][: len(g2)], s1_[0][: len(g1)])
 
+    def test_pallas_path_matches(self, rng):
+        # The fused Pallas kernel path (interpret mode on CPU) must agree
+        # with the XLA path and the exact engine.
+        docs = make_docs(rng, 300, vocab=12)
+        seg = build_sealed_segment(docs)
+        ri = build_range_index(seg, range_size=128)
+        v1 = ExactEngine(seg)
+        v2p = BlockMaxEngine(seg, ri, chunk=4, use_pallas="interpret")
+        queries = [
+            Query.from_int_ids(rng.integers(0, 12, size=3).tolist())
+            for _ in range(3)
+        ]
+        s1_, i1, _ = v1.search(queries, 10)
+        s2_, i2, _ = v2p.search(queries, 10)
+        for qi in range(len(queries)):
+            g1, g2 = i1[qi][i1[qi] >= 0], i2[qi][i2[qi] >= 0]
+            assert len(g1) == len(g2)
+            rank_match(g2, g1, s2_[qi][: len(g2)], s1_[qi][: len(g1)])
+
     def test_missing_and_empty(self, rng):
         docs = make_docs(rng, 50, vocab=5)
         seg = build_sealed_segment(docs)

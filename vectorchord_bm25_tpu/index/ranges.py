@@ -51,6 +51,11 @@ class RangeIndex:
     post_local: np.ndarray  # [total + range_size] uint8 (doc - range*RS)
     post_tf16: np.ndarray  # [total + range_size] uint16 (min(tf, 65535))
 
+    # Fully fused form for the Pallas kernel: one uint32 word per posting,
+    # local | tf16 << 8 | fieldnorm << 24 — a single DMA stream carries
+    # everything the scoring kernel needs.
+    post_packed: np.ndarray  # [total + range_size] uint32
+
     # Per-(term, range) groups, term-major then range-ascending.
     tr_range: np.ndarray  # [M] int32 range id
     tr_start: np.ndarray  # [M] int32 offset into post_* arrays
@@ -97,6 +102,7 @@ def build_range_index(
             post_tf=np.zeros(range_size, dtype=np.int32),
             post_local=np.zeros(range_size, dtype=np.uint8),
             post_tf16=np.zeros(range_size, dtype=np.uint16),
+            post_packed=np.zeros(range_size, dtype=np.uint32),
             tr_range=np.zeros(0, dtype=np.int32),
             tr_start=np.zeros(0, dtype=np.int32),
             tr_len=np.zeros(0, dtype=np.int32),
@@ -150,6 +156,16 @@ def build_range_index(
             [
                 np.minimum(tfv, 0xFFFF).astype(np.uint16),
                 np.zeros(range_size, dtype=np.uint16),
+            ]
+        ),
+        post_packed=np.concatenate(
+            [
+                (
+                    local.astype(np.uint32)
+                    | (np.minimum(tfv, 0xFFFF).astype(np.uint32) << 8)
+                    | (fn.astype(np.uint32) << 24)
+                ),
+                np.zeros(range_size, dtype=np.uint32),
             ]
         ),
         tr_range=rng_of[starts].astype(np.int32),

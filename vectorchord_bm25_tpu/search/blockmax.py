@@ -46,9 +46,7 @@ def _bucket(x: int, minimum: int = 8) -> int:
 
 
 def _blockmax_kernel(
-    post_local,  # [P] uint8 range-relative doc ids (compact postings)
-    post_tf,  # [P] uint16 term frequencies (saturated)
-    doc_fieldnorm,  # [N+1] int32
+    post_packed,  # [P] uint32 postings: local | tf16 << 8 | fieldnorm << 24
     doc_live,  # [N+1] float32
     filter_mask,  # [N+1] float32
     s1_table,  # [256] float32
@@ -67,6 +65,7 @@ def _blockmax_kernel(
     n_ranges: int,
     n_docs: int,
     max_rounds: int,
+    use_pallas: bool,
 ):
     import jax
     import jax.numpy as jnp
@@ -142,29 +141,43 @@ def _blockmax_kernel(
         start = jnp.where(found, jnp.take_along_axis(qt_start, idx, axis=2), 0)
         length = jnp.where(found, jnp.take_along_axis(qt_len, idx, axis=2), 0)
 
-        # Gather fixed windows [Q, T, C, RS] from the compact flat
-        # postings; global doc id = range*RS + local (the byte-packed
-        # form decodes with one fused add — no bit unpacking on the VPU).
-        gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
-        valid = rs_iota < length[..., None]
-        local = post_local[gidx].astype(jnp.int32)
-        d_raw = cand_r[:, None, :, None] * rs + local
-        d = jnp.where(valid, jnp.minimum(d_raw, n_docs), n_docs)
-        tf = post_tf[gidx].astype(jnp.float32)
-        fn = doc_fieldnorm[d]
-        s1 = s1_table[fn]
-        s0 = q_s0[:, :, None, None]
-        sc = jnp.where(valid & (tf > 0.0), (tf * s0) / (tf + s1), 0.0)
-        sc = sc * doc_live[d] * filter_mask[d]
-        qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
-        acc = jnp.zeros((q, c, rs), dtype=jnp.float32)
-        acc = acc.at[qi, ci, local].add(sc)
+        if use_pallas:
+            # Fused Pallas kernel: one-hot MXU matmuls for the s1 lookup
+            # and the per-range accumulation (ops/score_kernel.py).
+            # use_pallas == "interpret" runs the kernel in interpreter
+            # mode (CPU test coverage).
+            from ..ops.score_kernel import fused_range_scores
 
-        # Candidate docs + merge with running top-k.
+            acc = fused_range_scores(
+                post_packed, s1_table, start, length, q_s0,
+                rs=rs, interpret=use_pallas == "interpret",
+            )  # [Q, C, RS]
+        else:
+            # XLA path: gather windows [Q, T, C, RS], decode the packed
+            # words (one fused add, no bit unpacking on the VPU), score,
+            # scatter-add into per-range accumulators.
+            gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
+            valid = rs_iota < length[..., None]
+            w = post_packed[gidx].astype(jnp.int32)
+            local = w & 0xFF
+            tf = ((w >> 8) & 0xFFFF).astype(jnp.float32)
+            fn = (w >> 24) & 0xFF
+            s1 = s1_table[fn]
+            s0 = q_s0[:, :, None, None]
+            sc = jnp.where(valid & (tf > 0.0), (tf * s0) / (tf + s1), 0.0)
+            qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
+            acc = jnp.zeros((q, c, rs), dtype=jnp.float32)
+            acc = acc.at[qi, ci, local].add(sc)
+
+        # Candidate docs; deleted/filtered docs are masked on the
+        # accumulated per-doc scores (the factors are per-doc, so they
+        # distribute over the per-term sum).
         cand_docs = cand_r[:, :, None] * rs + jax.lax.broadcasted_iota(
             jnp.int32, (q, c, rs), 2
         )
+        cand_docs_c = jnp.minimum(cand_docs, n_docs)
+        acc = acc * doc_live[cand_docs_c] * filter_mask[cand_docs_c]
         flat_s = acc.reshape(q, c * rs)
         flat_d = cand_docs.reshape(q, c * rs)
         ok = (flat_s > 0.0) & (flat_d < n_docs)
@@ -190,7 +203,7 @@ def _jitted_kernel():
         _blockmax_kernel,
         static_argnames=(
             "k", "chunk", "lmax", "range_size", "n_ranges", "n_docs",
-            "max_rounds",
+            "max_rounds", "use_pallas",
         ),
     )
 
@@ -204,12 +217,18 @@ class BlockMaxEngine:
         range_index: Optional[RangeIndex] = None,
         chunk: int = 64,
         device=None,
+        use_pallas: Optional[bool] = None,
     ):
         import jax.numpy as jnp
+
+        from ..ops.score_kernel import pallas_available
 
         self.segment = segment
         self.ranges = range_index or build_range_index(segment)
         self.chunk = chunk
+        self.use_pallas = (
+            pallas_available() if use_pallas is None else use_pallas
+        )
         # Pruned engine needs only the doc tables, not the [B, 128] block
         # arrays (its postings live in the compact flat arrays).
         self.dev = DeviceSegment.from_sealed(
@@ -222,8 +241,7 @@ class BlockMaxEngine:
         tts = np.zeros(v + 2, dtype=np.int32)
         tts[: v + 1] = ri.token_tr_start
         tts[v + 1] = tts[v]
-        self.dev_post_local = jnp.asarray(ri.post_local)
-        self.dev_post_tf16 = jnp.asarray(ri.post_tf16)
+        self.dev_post_packed = jnp.asarray(ri.post_packed)
         self.dev_tr_range = jnp.asarray(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
         )
@@ -306,9 +324,7 @@ class BlockMaxEngine:
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
         max_rounds = -(-ri.n_ranges // self.chunk) + 1
         scores, ids, rounds = _jitted_kernel()(
-            self.dev_post_local,
-            self.dev_post_tf16,
-            dev.doc_fieldnorm,
+            self.dev_post_packed,
             dev.doc_live,
             fm_dev,
             dev.s1_table,
@@ -326,6 +342,7 @@ class BlockMaxEngine:
             n_ranges=ri.n_ranges,
             n_docs=dev.n_docs,
             max_rounds=max_rounds,
+            use_pallas=self.use_pallas,
         )
         self.last_rounds = int(rounds)
         scores = np.asarray(scores)[:, :k]
