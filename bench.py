@@ -86,7 +86,7 @@ def main():
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument(
-        "--engine", choices=["exact", "blockmax"], default="blockmax"
+        "--engine", choices=["exact", "blockmax", "hybrid"], default="blockmax"
     )
     parser.add_argument("--chunk", type=int, default=32)
     args = parser.parse_args()
@@ -94,11 +94,14 @@ def main():
     from vectorchord_bm25_tpu.index.sealed import build_sealed_segment
     from vectorchord_bm25_tpu.search.blockmax import BlockMaxEngine
     from vectorchord_bm25_tpu.search.exact import ExactEngine
+    from vectorchord_bm25_tpu.search.hybrid import HybridEngine
 
     docs = synth_corpus(args.docs, args.vocab, args.avg_len)
     seg = build_sealed_segment(docs)
     if args.engine == "blockmax":
         engine = BlockMaxEngine(seg, chunk=args.chunk)
+    elif args.engine == "hybrid":
+        engine = HybridEngine(seg, chunk=args.chunk)
     else:
         engine = ExactEngine(seg)
     queries = synth_queries(docs, seg, args.queries)

@@ -72,7 +72,7 @@ class Bm25Index:
         search_options: Optional[SearchOptions] = None,
         engine: str = "blockmax",
     ):
-        if engine not in ("exact", "blockmax"):
+        if engine not in ("exact", "blockmax", "hybrid"):
             raise ValueError(f"unknown engine {engine!r}")
         self.options = options
         self.search_options = search_options or SearchOptions()
@@ -94,13 +94,27 @@ class Bm25Index:
         search_options: Optional[SearchOptions] = None,
         seed: Optional[bytes] = None,
         engine: str = "blockmax",
+        reorder: str = "none",
         progress=None,
     ) -> "Bm25Index":
-        """CREATE INDEX analog."""
+        """CREATE INDEX analog.
+
+        reorder: doc-id assignment strategy ("none", "fieldnorm", "term");
+        clustering strategies tighten block-max bounds (index/reorder.py).
+        """
         options = options or IndexOptions()
         seed = seed if seed is not None else random_seed()
+        documents = list(documents)
+        if payloads is None:
+            payloads = np.arange(len(documents), dtype=np.int64)
+        if reorder != "none":
+            from .reorder import reorder_documents
+
+            documents, payloads = reorder_documents(
+                documents, np.asarray(payloads, dtype=np.int64), reorder
+            )
         sealed = build_sealed_segment(
-            list(documents), payloads=payloads, options=options, progress=progress
+            documents, payloads=payloads, options=options, progress=progress
         )
         return cls(sealed, seed, options, search_options, engine=engine)
 
@@ -116,6 +130,10 @@ class Bm25Index:
                 from ..search.blockmax import BlockMaxEngine
 
                 self._engine = BlockMaxEngine(self.sealed)
+            elif self.engine_kind == "hybrid":
+                from ..search.hybrid import HybridEngine
+
+                self._engine = HybridEngine(self.sealed)
             else:
                 self._engine = ExactEngine(self.sealed)
             self._engine.set_deleted(self.deleted)
