@@ -71,6 +71,25 @@ class TestShardedIndex:
         scores, gids, pay = sharded.search([Query.from_int_ids([12345])], 5)
         assert np.all(gids == -1)
 
+    def test_blockmax_engine_matches(self, rng, mesh8):
+        # Sharded pruned engine == single-segment exact engine.
+        docs = make_docs(rng, 160, vocab=25)
+        single = ExactEngine(build_sealed_segment(docs))
+        sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine="blockmax")
+        queries = [
+            Query.from_int_ids(rng.integers(0, 25, size=3).tolist())
+            for _ in range(4)
+        ]
+        s_scores, s_ids, _ = sharded.search(queries, 10)
+        e_scores, e_ids, _ = single.search(queries, 10)
+        for qi in range(len(queries)):
+            got = s_ids[qi][s_ids[qi] >= 0]
+            expect = e_ids[qi][e_ids[qi] >= 0]
+            assert len(got) == len(expect), qi
+            rank_match(
+                got, expect, s_scores[qi][: len(got)], e_scores[qi][: len(expect)]
+            )
+
     def test_global_stats_step(self, rng, mesh8):
         docs = make_docs(rng, 100, vocab=10)
         sharded = ShardedIndex.build(docs, 8, mesh=mesh8)

@@ -72,6 +72,7 @@ class ShardedIndex:
         options: IndexOptions,
         mesh=None,
         axis: str = "d",
+        engine: str = "exact",
     ):
         import jax
         import jax.numpy as jnp
@@ -114,7 +115,12 @@ class ShardedIndex:
         )
         self.token_s0 = idf(self.n_docs, self.token_df) * (options.k1 + 1.0)
 
+        if engine not in ("exact", "blockmax"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self._upload()
+        if engine == "blockmax":
+            self._upload_blockmax()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -125,6 +131,7 @@ class ShardedIndex:
         payloads: Optional[Sequence[int]] = None,
         options: Optional[IndexOptions] = None,
         mesh=None,
+        engine: str = "exact",
     ) -> "ShardedIndex":
         """Data-parallel build: contiguous corpus shards, offset-rebased
         doc ids (io.rs:244-282 analog)."""
@@ -144,7 +151,7 @@ class ShardedIndex:
                     options=options,
                 )
             )
-        return cls(shards, options, mesh=mesh)
+        return cls(shards, options, mesh=mesh, engine=engine)
 
     # ------------------------------------------------------------------
     def _upload(self):
@@ -202,6 +209,181 @@ class ShardedIndex:
         self.dev_s1 = jax.device_put(
             self.tables.s1_table.astype(np.float32)
         )  # replicated
+
+    # ------------------------------------------------------------------
+    def _upload_blockmax(self):
+        """Stack per-shard range indexes (padded) for the pruned engine."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..index.ranges import build_range_index
+
+        d = self.n_shards
+        self._range_indexes = [
+            build_range_index(v.segment) for v in self.views
+        ]
+        ris = self._range_indexes
+        self._rs = ris[0].range_size
+        rmax = -(-self._nmax // self._rs)
+        self._rmax = max(rmax, 1)
+        vmax = max(max((v.segment.n_tokens for v in self.views), default=1), 1)
+        self._vmax = vmax
+        pmax = max(ri.post_packed.size for ri in ris)
+        mmax = max(ri.tr_range.size for ri in ris)
+
+        packed = np.zeros((d, pmax), dtype=np.uint32)
+        tr_range = np.full((d, mmax + 1), np.iinfo(np.int32).max, np.int32)
+        tr_start = np.zeros((d, mmax + 1), dtype=np.int32)
+        tr_len = np.zeros((d, mmax + 1), dtype=np.int32)
+        tr_ub = np.zeros((d, mmax + 1), dtype=np.float32)
+        csr = np.zeros((d, vmax + 2), dtype=np.int32)
+        s0 = np.zeros((d, vmax + 1), dtype=np.float32)
+        term_l = np.zeros((d, vmax), dtype=np.int64)
+
+        for i, (view, ri) in enumerate(zip(self.views, ris)):
+            v = view.segment.n_tokens
+            m = ri.tr_range.size
+            packed[i, : ri.post_packed.size] = ri.post_packed
+            tr_range[i, :m] = ri.tr_range
+            tr_start[i, :m] = ri.tr_start
+            tr_len[i, :m] = ri.tr_len
+            tr_ub[i, :m] = ri.tr_ub
+            csr[i, : v + 1] = ri.token_tr_start
+            csr[i, v + 1 :] = ri.token_tr_start[v]
+            # s0 must use GLOBAL df (idf from the merged stats).
+            gid = np.searchsorted(self.token_keys, view.segment.token_keys)
+            s0[i, :v] = self.token_s0[gid].astype(np.float32)
+            term_l[i, :v] = np.diff(ri.token_tr_start)
+        self._term_l_shard = term_l
+
+        def shard_put(x):
+            return jax.device_put(
+                x,
+                NamedSharding(
+                    self.mesh, P(self.axis, *([None] * (x.ndim - 1)))
+                ),
+            )
+
+        self.dev_bm_packed = shard_put(packed)
+        self.dev_bm_tr_range = shard_put(tr_range)
+        self.dev_bm_tr_start = shard_put(tr_start)
+        self.dev_bm_tr_len = shard_put(tr_len)
+        self.dev_bm_tr_ub = shard_put(tr_ub)
+        self.dev_bm_csr = shard_put(csr)
+        self.dev_bm_s0 = shard_put(s0)
+
+    def _prepare_blockmax(self, queries: Sequence[Query]):
+        """Per-shard local term ids for the pruned engine."""
+        qn = len(queries)
+        t_needed, l_needed = 1, 1
+        per_shard = []
+        for si, view in enumerate(self.views):
+            ids_q = []
+            for query in queries:
+                seg = view.segment
+                lids = seg.lookup_tokens(query.keys)
+                lids = lids[lids >= 0].astype(np.int64)
+                ids_q.append(lids)
+                t_needed = max(t_needed, lids.size)
+                if lids.size:
+                    li = self._term_l_shard[si][lids]
+                    l_needed = max(l_needed, int(li.max()))
+            per_shard.append(ids_q)
+        t_max = _bucket(t_needed, 4)
+        q_tid = np.full(
+            (self.n_shards, qn, t_max), self._vmax, dtype=np.int32
+        )
+        for si, ids_q in enumerate(per_shard):
+            for qi, lids in enumerate(ids_q):
+                q_tid[si, qi, : lids.size] = lids
+        return q_tid, _bucket(l_needed, 8)
+
+    @functools.lru_cache(maxsize=8)
+    def _sharded_blockmax_fn(self, k: int, lmax: int, chunk: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..search.blockmax import _blockmax_kernel
+
+        axis = self.axis
+        nmax = self._nmax
+        rs = self._rs
+        rmax = self._rmax
+        max_rounds = -(-rmax // chunk) + 1
+
+        def local_and_merge(
+            packed, tr_range, tr_start, tr_len, tr_ub, csr, s0,
+            doc_live, doc_offset, q_tid_s, s1_table,
+        ):
+            ones = jnp.ones(nmax + 1, dtype=jnp.float32)
+            l_scores, l_ids, _ = _blockmax_kernel(
+                packed[0],
+                doc_live[0],
+                ones,
+                s1_table,
+                s0[0],
+                tr_range[0],
+                tr_start[0],
+                tr_len[0],
+                tr_ub[0],
+                csr[0],
+                q_tid_s[0],
+                k=k,
+                chunk=chunk,
+                lmax=lmax,
+                range_size=rs,
+                n_ranges=rmax,
+                n_docs=nmax,
+                max_rounds=max_rounds,
+                use_pallas=False,
+            )
+            invalid = jnp.int32(np.iinfo(np.int32).max)
+            g_ids = jnp.where(
+                jnp.isfinite(l_scores), l_ids + doc_offset[0, 0], invalid
+            )
+            a_scores = jax.lax.all_gather(l_scores, axis)
+            a_ids = jax.lax.all_gather(g_ids, axis)
+            dd = a_scores.shape[0]
+            c_scores = jnp.moveaxis(a_scores, 0, 1).reshape(-1, dd * k)
+            c_ids = jnp.moveaxis(a_ids, 0, 1).reshape(-1, dd * k)
+            neg, gid_s = jax.lax.sort((-c_scores, c_ids), num_keys=2)
+            return -neg[:, :k], gid_s[:, :k]
+
+        fn = shard_map(
+            local_and_merge,
+            mesh=self.mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(axis), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _search_blockmax(self, queries: Sequence[Query], k: int):
+        import jax.numpy as jnp
+
+        q_tid, lmax = self._prepare_blockmax(queries)
+        kk = min(_bucket(k, 1), max(self._nmax, 1))
+        chunk = min(64, self._rmax)
+        scores, gids = self._sharded_blockmax_fn(kk, lmax, chunk)(
+            self.dev_bm_packed,
+            self.dev_bm_tr_range,
+            self.dev_bm_tr_start,
+            self.dev_bm_tr_len,
+            self.dev_bm_tr_ub,
+            self.dev_bm_csr,
+            self.dev_bm_s0,
+            self.dev_doc_live,
+            self.dev_doc_offsets,
+            jnp.asarray(q_tid),
+            self.dev_s1,
+        )
+        return scores, gids
 
     # ------------------------------------------------------------------
     def _prepare(self, queries: Sequence[Query]):
@@ -344,19 +526,22 @@ class ShardedIndex:
 
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
-        q_s0, blk_ids, blk_slot = self._prepare(queries)
-        kk = min(_bucket(k, 1), max(self._nmax, 1))
-        scores, gids = self._sharded_search_fn(kk)(
-            self.dev_blk_docs,
-            self.dev_blk_tfs,
-            self.dev_doc_fn,
-            self.dev_doc_live,
-            self.dev_doc_offsets,
-            jnp.asarray(blk_ids),
-            jnp.asarray(blk_slot),
-            jnp.asarray(q_s0),
-            self.dev_s1,
-        )
+        if self.engine == "blockmax":
+            scores, gids = self._search_blockmax(queries, k)
+        else:
+            q_s0, blk_ids, blk_slot = self._prepare(queries)
+            kk = min(_bucket(k, 1), max(self._nmax, 1))
+            scores, gids = self._sharded_search_fn(kk)(
+                self.dev_blk_docs,
+                self.dev_blk_tfs,
+                self.dev_doc_fn,
+                self.dev_doc_live,
+                self.dev_doc_offsets,
+                jnp.asarray(blk_ids),
+                jnp.asarray(blk_slot),
+                jnp.asarray(q_s0),
+                self.dev_s1,
+            )
         scores = np.asarray(scores)[:, :k]
         gids = np.asarray(gids, dtype=np.int64)[:, :k]
         valid = np.isfinite(scores) & (scores > 0) & (gids < self.n_docs)
