@@ -53,6 +53,77 @@ def synth_corpus(
     return docs
 
 
+def synth_corpus_postings(
+    n_docs: int, vocab: int, avg_len: int, seed: int = 0, n_topics: int = 64
+):
+    """Vectorized corpus generator for large scales: returns flat
+    (keys |S16, doc_ids, tfs) postings plus per-doc CSR offsets, with the
+    same topical structure as synth_corpus but no per-doc Python loops."""
+    rng = np.random.default_rng(seed)
+    shared = vocab // 5
+    topic_sz = (vocab - shared) // n_topics
+    lengths = np.maximum(
+        4, (avg_len * rng.lognormal(0.0, 0.6, size=n_docs)).astype(np.int64)
+    )
+    total = int(lengths.sum())
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    topic_of = np.sort(rng.integers(0, n_topics, size=n_docs))
+    z = rng.zipf(1.3, size=total)
+    is_shared = rng.random(total) < 0.4
+    ids = np.where(
+        is_shared,
+        z % shared,
+        shared + topic_of[doc_of] * topic_sz + (z % topic_sz),
+    )
+    # Dedup (doc, id) -> tf counts.
+    order = np.lexsort((ids, doc_of))
+    d_s, i_s = doc_of[order], ids[order]
+    boundary = np.empty(total, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+    starts = np.flatnonzero(boundary)
+    tfs = np.diff(np.append(starts, total)).astype(np.int64)
+    u_docs = d_s[starts]
+    u_ids = i_s[starts]
+    # Encode int ids as 16-byte keys (big-endian in the first 4 bytes).
+    keys_u8 = np.zeros((u_ids.size, 16), dtype=np.uint8)
+    be = u_ids.astype(">u4").view(np.uint8).reshape(-1, 4)
+    keys_u8[:, :4] = be
+    keys = keys_u8.reshape(-1).view("S16")
+    doc_start = np.zeros(n_docs + 1, dtype=np.int64)
+    np.add.at(doc_start, u_docs + 1, 1)
+    np.cumsum(doc_start, out=doc_start)
+    return keys, u_docs, tfs, doc_start
+
+
+def synth_queries_fast(
+    keys, doc_start, segment, n_queries: int, terms: int = 4, seed: int = 1
+):
+    """Query sampling for the fast corpus: idf-weighted terms from random
+    documents (same distribution as synth_queries)."""
+    from vectorchord_bm25_tpu.text.intern import Query
+
+    rng = np.random.default_rng(seed)
+    n = segment.n_docs
+    out = []
+    for _ in range(n_queries):
+        di = int(rng.integers(0, n))
+        lo, hi = int(doc_start[di]), int(doc_start[di + 1])
+        if hi - lo == 0:
+            out.append(Query(keys=np.zeros(0, dtype="S16")))
+            continue
+        dkeys = keys[lo:hi]
+        tids = segment.lookup_tokens(dkeys)
+        dfs = np.where(tids >= 0, segment.token_df[np.maximum(tids, 0)], 1)
+        w = np.log((n + 1.0) / (dfs + 0.5))
+        w = np.maximum(w, 1e-6) ** 2
+        w /= w.sum()
+        m = min(terms, hi - lo)
+        picks = rng.choice(hi - lo, size=m, replace=False, p=w)
+        out.append(Query(keys=np.sort(dkeys[np.sort(picks)])))
+    return out
+
+
 def synth_queries(docs, segment, n_queries: int, terms: int = 4, seed: int = 1):
     """Realistic keyword queries: terms sampled from random documents,
     weighted by idf — users type informative words, so real query-term df
@@ -81,30 +152,36 @@ def main():
     parser.add_argument("--docs", type=int, default=131072)
     parser.add_argument("--vocab", type=int, default=50000)
     parser.add_argument("--avg-len", type=int, default=80)
-    parser.add_argument("--queries", type=int, default=256)
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--queries", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument(
-        "--engine", choices=["exact", "blockmax", "hybrid"], default="blockmax"
+        "--engine", choices=["exact", "blockmax", "hybrid"], default="hybrid"
     )
-    parser.add_argument("--chunk", type=int, default=32)
+    parser.add_argument("--chunk", type=int, default=64)
     args = parser.parse_args()
 
-    from vectorchord_bm25_tpu.index.sealed import build_sealed_segment
+    from vectorchord_bm25_tpu.index.sealed import (
+        build_sealed_segment_from_postings,
+    )
     from vectorchord_bm25_tpu.search.blockmax import BlockMaxEngine
     from vectorchord_bm25_tpu.search.exact import ExactEngine
     from vectorchord_bm25_tpu.search.hybrid import HybridEngine
 
-    docs = synth_corpus(args.docs, args.vocab, args.avg_len)
-    seg = build_sealed_segment(docs)
+    keys, doc_ids, tfs, doc_start = synth_corpus_postings(
+        args.docs, args.vocab, args.avg_len
+    )
+    seg = build_sealed_segment_from_postings(
+        keys, doc_ids, tfs, args.docs, doc_grouped=True
+    )
     if args.engine == "blockmax":
         engine = BlockMaxEngine(seg, chunk=args.chunk)
     elif args.engine == "hybrid":
         engine = HybridEngine(seg, chunk=args.chunk)
     else:
         engine = ExactEngine(seg)
-    queries = synth_queries(docs, seg, args.queries)
+    queries = synth_queries_fast(keys, doc_start, seg, args.queries)
 
     batches = [
         queries[i : i + args.batch] for i in range(0, len(queries), args.batch)
@@ -128,7 +205,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "synthetic_128k_docs_batched_qps_top10",
+                "metric": f"synthetic_{args.docs}_docs_batched_qps_top10",
                 "value": round(best_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(best_qps / baseline, 2),

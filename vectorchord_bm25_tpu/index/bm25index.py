@@ -26,6 +26,7 @@ Pinned semantics (see SURVEY.md §3):
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -83,6 +84,14 @@ class Bm25Index:
         self.engine_kind = engine
         self._engine = None
         self._engine_deleted_dirty = False
+        # Concurrency discipline (the reference's lock-page protocol,
+        # maintain.rs:44 / bulkdelete.rs:34): searches and point mutations
+        # take the RW lock shared, maintain takes it exclusive for the
+        # generation swap; a separate mutex serializes host-state writers.
+        from ..utils.rwlock import RWLock
+
+        self._rw = RWLock()
+        self._mutex = threading.RLock()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -125,6 +134,10 @@ class Bm25Index:
         return int((~self.deleted).sum()) + self.growing.n_live
 
     def engine(self):
+        with self._mutex:
+            return self._engine_locked()
+
+    def _engine_locked(self):
         if self._engine is None:
             if self.engine_kind == "blockmax":
                 from ..search.blockmax import BlockMaxEngine
@@ -146,27 +159,35 @@ class Bm25Index:
     # ------------------------------------------------------------------
     def insert(self, document: Document, payload: int) -> None:
         """aminsert analog: append to the growing segment."""
-        self.growing.insert(document, payload)
+        with self._rw.read(), self._mutex:
+            self.growing.insert(document, payload)
 
     def bulkdelete(self, predicate: Callable[[int], bool]) -> int:
         """Mark docs whose payload matches; returns count marked
         (bulkdelete.rs: flips deleted bits in both segments)."""
-        count = 0
-        for slot in range(self.sealed.n_docs):
-            if not self.deleted[slot] and predicate(
-                int(self.sealed.doc_payload[slot])
-            ):
-                self.deleted[slot] = True
-                count += 1
-        if count:
-            self._engine_deleted_dirty = True
-        count += self.growing.bulkdelete(predicate)
-        return count
+        with self._rw.read(), self._mutex:
+            count = 0
+            for slot in range(self.sealed.n_docs):
+                if not self.deleted[slot] and predicate(
+                    int(self.sealed.doc_payload[slot])
+                ):
+                    self.deleted[slot] = True
+                    count += 1
+            if count:
+                self._engine_deleted_dirty = True
+            count += self.growing.bulkdelete(predicate)
+            return count
 
     def maintain(self, progress=None) -> None:
         """Merge/compaction (maintain.rs): relabel live docs — sealed slot
         order then growing insertion order — and re-flush into a fresh
-        sealed segment; the growing segment empties."""
+        sealed segment; the growing segment empties.  Takes the index
+        lock exclusive for the whole merge (the reference holds its lock
+        page exclusive likewise)."""
+        with self._rw.write():
+            self._maintain_locked(progress)
+
+    def _maintain_locked(self, progress=None) -> None:
         docs: List[Document] = []
         payloads: List[int] = []
 
@@ -222,7 +243,10 @@ class Bm25Index:
             k = (session or SessionConfig()).resolve_limit(self.search_options)
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
+        with self._rw.read():
+            return self._search_locked(query, k, filter_fn)
 
+    def _search_locked(self, query, k, filter_fn):
         # Sealed path.
         sealed_hits: List[Tuple[float, int, int]] = []  # (score, order, payload)
         if self.sealed.n_docs:
@@ -259,6 +283,10 @@ class Bm25Index:
         """Batched search (the TPU fast path); growing docs merged per query."""
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
+        with self._rw.read():
+            return self._search_batch_locked(queries, k)
+
+    def _search_batch_locked(self, queries, k):
         out: List[List[SearchHit]] = []
         if self.sealed.n_docs:
             scores, slots, payloads = self.engine().search(list(queries), k)

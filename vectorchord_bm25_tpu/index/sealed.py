@@ -40,7 +40,12 @@ from ..utils.options import IndexOptions
 
 BLOCK = 128  # postings per block (reference flush.rs:68-136)
 
-__all__ = ["BLOCK", "SealedSegment", "build_sealed_segment"]
+__all__ = [
+    "BLOCK",
+    "SealedSegment",
+    "build_sealed_segment",
+    "build_sealed_segment_from_postings",
+]
 
 
 @dataclass
@@ -195,24 +200,74 @@ def build_sealed_segment(
     n = len(documents)
     if n == 0:
         return _empty_segment(options)
+
+    counts = np.fromiter((len(d) for d in documents), dtype=np.int64, count=n)
+    if counts.sum() == 0:
+        all_keys = np.zeros(0, dtype=f"S{WIDTH}")
+        all_tfs = np.zeros(0, dtype=np.int64)
+    else:
+        all_keys = np.concatenate([d.keys for d in documents]).astype(
+            f"S{WIDTH}"
+        )
+        all_tfs = np.concatenate([d.values for d in documents]).astype(
+            np.int64
+        )
+    all_docs = np.repeat(np.arange(n, dtype=np.int64), counts)
+    return build_sealed_segment_from_postings(
+        all_keys,
+        all_docs,
+        all_tfs,
+        n,
+        payloads=payloads,
+        options=options,
+        progress=progress,
+        presorted=False,
+        doc_grouped=True,
+    )
+
+
+def build_sealed_segment_from_postings(
+    keys: np.ndarray,  # [P] |S16
+    doc_ids: np.ndarray,  # [P] int64, in [0, n_docs)
+    tfs: np.ndarray,  # [P] int64, nonzero
+    n_docs: int,
+    payloads: Optional[Sequence[int]] = None,
+    options: Optional[IndexOptions] = None,
+    progress=None,
+    presorted: bool = False,
+    doc_grouped: bool = False,
+) -> SealedSegment:
+    """Build directly from flat (key, doc, tf) postings — the fast path for
+    bulk ingestion and the entry point for externally sorted/merged runs
+    (the io.rs merge output feeds here).  (key, doc) pairs must be unique;
+    presorted=True skips the sort when input is already (key, doc) ordered;
+    doc_grouped=True skips the doc-order pre-pass when postings arrive
+    grouped by doc (saves one stable sort).
+    """
+    options = options or IndexOptions()
+    n = int(n_docs)
+    if n == 0:
+        return _empty_segment(options)
     if payloads is None:
         payloads = np.arange(n, dtype=np.int64)
     payloads = np.asarray(payloads, dtype=np.int64)
     if payloads.shape != (n,):
         raise ValueError("payloads must be one int64 per document")
 
+    all_keys = np.asarray(keys, dtype=f"S{WIDTH}")
+    all_docs = np.asarray(doc_ids, dtype=np.int64)
+    all_tfs = np.asarray(tfs, dtype=np.int64)
+    total = all_keys.size
+
     # Pass 1 — records: doc lengths -> fieldnorms, N, Σdl (flush.rs:49-64).
-    lengths = np.fromiter(
-        (doc.length() for doc in documents), dtype=np.int64, count=n
-    )
+    lengths = np.zeros(n, dtype=np.int64)
+    np.add.at(lengths, all_docs, np.minimum(all_tfs, 0xFFFFFFFF))
+    lengths = np.minimum(lengths, 0xFFFFFFFF)
     fieldnorms = length_to_fieldnorm(lengths)
-    sum_dl = int(np.minimum(lengths, 0xFFFFFFFF).sum())
+    sum_dl = int(lengths.sum())
     if progress is not None:
         progress("records", n, n)
 
-    # Pass 2 — mappings: flatten (key, doc, tf) and sort by (key, doc).
-    counts = np.fromiter((len(d) for d in documents), dtype=np.int64, count=n)
-    total = int(counts.sum())
     if total == 0:
         seg = _empty_segment(options)
         seg.n_docs = n
@@ -221,17 +276,20 @@ def build_sealed_segment(
         seg.doc_payload = payloads
         return seg
 
-    all_keys = np.concatenate([d.keys for d in documents]).astype(f"S{WIDTH}")
-    all_tfs = np.concatenate([d.values for d in documents]).astype(np.int64)
-    all_docs = np.repeat(np.arange(n, dtype=np.int64), counts)
-
-    # Keys within each document are already sorted; global order needs
-    # (key, doc).  Doc ids are non-decreasing per key after a stable sort
-    # on key alone, because input is scanned in doc order.
-    order = np.argsort(all_keys, kind="stable")
-    s_keys = all_keys[order]
-    s_docs = all_docs[order]
-    s_tfs = all_tfs[order]
+    if presorted:
+        s_keys, s_docs, s_tfs = all_keys, all_docs, all_tfs
+    else:
+        if not doc_grouped:
+            pre = np.argsort(all_docs, kind="stable")
+            all_keys, all_docs, all_tfs = (
+                all_keys[pre], all_docs[pre], all_tfs[pre],
+            )
+        # Postings are now doc-grouped, so a stable sort on key alone
+        # yields (key, doc) order.
+        order = np.argsort(all_keys, kind="stable")
+        s_keys = all_keys[order]
+        s_docs = all_docs[order]
+        s_tfs = all_tfs[order]
     if progress is not None:
         progress("sort", total, total)
 

@@ -184,8 +184,13 @@ def _blockmax_kernel(
         flat_s = jnp.where(ok, flat_s, -jnp.inf)
         flat_d = jnp.where(ok, flat_d, _INT_MAX)
 
-        all_s = jnp.concatenate([topk_s, flat_s], axis=1)
-        all_d = jnp.concatenate([topk_d, flat_d], axis=1)
+        # Reduce the round's candidates to k first (top_k breaks ties by
+        # lower index = lower doc id within the round), then merge the two
+        # sorted k-lists with one tiny lexicographic sort.
+        r_s, r_idx = jax.lax.top_k(flat_s, k)  # [Q, k]
+        r_d = jnp.take_along_axis(flat_d, r_idx, axis=1)
+        all_s = jnp.concatenate([topk_s, r_s], axis=1)  # [Q, 2k]
+        all_d = jnp.concatenate([topk_d, r_d], axis=1)
         neg, d_sorted = jax.lax.sort((-all_s, all_d), num_keys=2)
         return ub_next, -neg[:, :k], d_sorted[:, :k], rounds + 1
 
