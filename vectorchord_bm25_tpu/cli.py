@@ -46,15 +46,30 @@ def cmd_build(args):
     payloads, texts = _load_corpus(args.input)
     seed = random_seed()
     print(f"ingesting {len(texts)} documents...", file=sys.stderr)
-    docs = documents_from_texts(seed, texts)
-    index = Bm25Index.build(
-        docs,
-        payloads=payloads,
-        options=IndexOptions(k1=args.k1, b=args.b),
-        search_options=SearchOptions(limit=args.limit),
-        seed=seed,
-        engine=args.engine,
-    )
+    options = IndexOptions(k1=args.k1, b=args.b)
+    if args.workers > 1:
+        # Multi-process out-of-core build through disk-spilled sorted runs
+        # (the reference's parallel CREATE INDEX path).
+        from .parallel.hostbuild import build_out_of_core
+
+        sealed = build_out_of_core(
+            texts, seed, payloads=payloads, options=options,
+            n_workers=args.workers,
+        )
+        index = Bm25Index(
+            sealed, seed, options,
+            SearchOptions(limit=args.limit), engine=args.engine,
+        )
+    else:
+        docs = documents_from_texts(seed, texts)
+        index = Bm25Index.build(
+            docs,
+            payloads=payloads,
+            options=options,
+            search_options=SearchOptions(limit=args.limit),
+            seed=seed,
+            engine=args.engine,
+        )
     save_index(index, args.index)
     print(
         f"built: {index.sealed.n_docs} docs, {index.sealed.n_tokens} terms, "
@@ -155,7 +170,12 @@ def main(argv=None):
     p.add_argument("--k1", type=float, default=1.2)
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--limit", type=int, default=100)
-    p.add_argument("--engine", choices=["exact", "blockmax"], default="blockmax")
+    p.add_argument(
+        "--engine",
+        choices=["exact", "blockmax", "hybrid"],
+        default="blockmax",
+    )
+    p.add_argument("--workers", type=int, default=1)
     p.set_defaults(fn=cmd_build)
 
     p = sub.add_parser("search", help="top-k search")

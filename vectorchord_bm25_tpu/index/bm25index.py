@@ -39,7 +39,20 @@ from ..utils.options import IndexOptions, SearchOptions, SessionConfig
 from .growing import GrowingSegment
 from .sealed import SealedSegment, build_sealed_segment
 
-__all__ = ["Bm25Index", "SearchHit"]
+__all__ = ["Bm25Index", "BoundQuery", "SearchHit"]
+
+
+class BoundQuery:
+    """A query bound to a specific index (the `to_bm25query(vec, index)`
+    analog).  Searching a different index with it errors, mirroring the
+    reference's "query's index oid != scanned index" check
+    (src/index/bm25/scanners/default.rs:79-84)."""
+
+    __slots__ = ("query", "index_seed")
+
+    def __init__(self, query: Query, index_seed: bytes):
+        self.query = query
+        self.index_seed = index_seed
 
 
 class SearchHit(tuple):
@@ -239,12 +252,62 @@ class Bm25Index:
         filter_fn: payload predicate evaluated inside retrieval (prefilter
         semantics — the threshold stays honest under filtering).
         """
+        query = self._unbind(query)
         if k is None:
             k = (session or SessionConfig()).resolve_limit(self.search_options)
+        if k == -1:
+            # 0.2.x bm25_catalog.bm25_limit = -1: brute force, return every
+            # document with score > 0 (README.md:462-466).
+            return self.search_all(query, filter_fn)
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
         with self._rw.read():
             return self._search_locked(query, k, filter_fn)
+
+    def _unbind(self, query):
+        if isinstance(query, BoundQuery):
+            if query.index_seed != self.seed:
+                raise ValueError(
+                    "bm25 query references another index (rebuild the "
+                    "query against this index)"
+                )
+            return query.query
+        return query
+
+    def make_query(self, tokens) -> BoundQuery:
+        """to_bm25query analog: intern tokens against this index's seed and
+        bind the query to this index."""
+        return BoundQuery(Query.from_tokens(self.seed, tokens), self.seed)
+
+    def search_all(
+        self,
+        query: Query,
+        filter_fn: Optional[Callable[[int], bool]] = None,
+    ) -> List[SearchHit]:
+        """Brute-force: every matching doc (score > 0), best first — the
+        0.2.x bm25_limit = -1 behavior."""
+        query = self._unbind(query)
+        with self._rw.read():
+            from ..search.exact import oracle_scores
+
+            hits: List[Tuple[float, int, int]] = []
+            if self.sealed.n_docs:
+                scores = oracle_scores(
+                    self.sealed, query, deleted=self.deleted, dtype=np.float64
+                )
+                for slot in np.flatnonzero(scores > 0):
+                    payload = int(self.sealed.doc_payload[slot])
+                    if filter_fn is None or filter_fn(payload):
+                        hits.append((float(scores[slot]), int(slot), payload))
+            g_scores, g_payloads = self.growing.score(query, filter_fn=filter_fn)
+            base = self.sealed.n_docs
+            hits += [
+                (float(s), base + i, int(p))
+                for i, (s, p) in enumerate(zip(g_scores, g_payloads))
+                if s > 0.0
+            ]
+            hits.sort(key=lambda t: (-t[0], t[1]))
+            return [SearchHit(s, p) for s, _, p in hits]
 
     def _search_locked(self, query, k, filter_fn):
         # Sealed path.
