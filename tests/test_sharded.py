@@ -90,6 +90,28 @@ class TestShardedIndex:
                 got, expect, s_scores[qi][: len(got)], e_scores[qi][: len(expect)]
             )
 
+    def test_toy_anchor_both_engines(self, mesh8):
+        # The README toy-corpus anchor must hold under sharding for both
+        # engines (regression: per-shard k was once capped by shard size,
+        # truncating the global merge).
+        import numpy as np
+
+        from vectorchord_bm25_tpu.text.corpus import documents_from_texts
+        from vectorchord_bm25_tpu.text.intern import random_seed
+        from vectorchord_bm25_tpu.text.tokenizer import tsvector
+        from test_tokenizer import TOY_CORPUS
+
+        seed = random_seed()
+        docs = documents_from_texts(seed, TOY_CORPUS)
+        q = Query.from_tokens(seed, tsvector("PostgreSQL").keys())
+        for engine in ("exact", "blockmax"):
+            sharded = ShardedIndex.build(
+                docs, 8, payloads=np.arange(1, 11), mesh=mesh8, engine=engine
+            )
+            _, _, payloads = sharded.search([q], 10)
+            got = [int(x) for x in payloads[0] if x >= 0]
+            assert got == [8, 9, 4, 1, 7, 2], engine
+
     def test_global_stats_step(self, rng, mesh8):
         docs = make_docs(rng, 100, vocab=10)
         sharded = ShardedIndex.build(docs, 8, mesh=mesh8)

@@ -56,6 +56,10 @@ class RangeIndex:
     # everything the scoring kernel needs.
     post_packed: np.ndarray  # [total + range_size] uint32
 
+    # Impact-eager form (BM25S-style): the posting's full precomputed
+    # score — query scoring is gather + sum, no table lookups/divisions.
+    post_impact: np.ndarray  # [total + range_size] float32 (pad = 0)
+
     # Per-(term, range) groups, term-major then range-ascending.
     tr_range: np.ndarray  # [M] int32 range id
     tr_start: np.ndarray  # [M] int32 offset into post_* arrays
@@ -66,10 +70,10 @@ class RangeIndex:
     token_tr_start: np.ndarray  # [V+1] int64
 
     def memory_bytes(self, compact: bool = True) -> int:
-        """Device-resident bytes for the pruned engine (compact postings
-        by default; the u32 arrays are host-side build/compat forms)."""
+        """Device-resident bytes for the pruned engine (impact-eager
+        postings by default; the u32 arrays are host-side build forms)."""
         postings = (
-            self.post_local.nbytes + self.post_tf16.nbytes
+            self.post_local.nbytes + self.post_impact.nbytes
             if compact
             else self.post_docid.nbytes + self.post_tf.nbytes
         )
@@ -84,9 +88,18 @@ class RangeIndex:
 
 
 def build_range_index(
-    seg: SealedSegment, range_size: int = RANGE
+    seg: SealedSegment,
+    range_size: int = RANGE,
+    global_stats: "tuple | None" = None,
 ) -> RangeIndex:
-    """Derive the range index from a sealed segment's postings."""
+    """Derive the range index from a sealed segment's postings.
+
+    global_stats: optional (n_docs_total, sum_dl_total, token_s0 [V]) —
+    used by doc-sharded indexes so per-posting impacts bake in the
+    *global* idf/avgdl (scoring must match a single-node build; the
+    reference's parallel build likewise computes statistics globally
+    before flush).
+    """
     if not (1 <= range_size <= 256):
         raise ValueError("range_size must be in [1, 256] (u8 local ids)")
     n = seg.n_docs
@@ -103,6 +116,7 @@ def build_range_index(
             post_local=np.zeros(range_size, dtype=np.uint8),
             post_tf16=np.zeros(range_size, dtype=np.uint16),
             post_packed=np.zeros(range_size, dtype=np.uint32),
+            post_impact=np.zeros(range_size, dtype=np.float32),
             tr_range=np.zeros(0, dtype=np.int32),
             tr_start=np.zeros(0, dtype=np.int32),
             tr_len=np.zeros(0, dtype=np.int32),
@@ -122,8 +136,15 @@ def build_range_index(
     lens = np.diff(np.append(starts, total))
 
     # Exact max score per group (the block-max): full idf*tf score.
-    tables: ScoreTables = seg.score_tables()
-    s0 = seg.token_s0()
+    if global_stats is not None:
+        n_total, sum_dl_total, s0 = global_stats
+        tables = ScoreTables.create(
+            seg.options.k1, seg.options.b, n_total, sum_dl_total
+        )
+        s0 = np.asarray(s0, dtype=np.float64)
+    else:
+        tables = seg.score_tables()
+        s0 = seg.token_s0()
     fn = seg.doc_fieldnorm[doc].astype(np.int64)
     t64 = tfv.astype(np.float64)
     scores = (t64 * s0[tok]) / (t64 + tables.s1_table[fn])
@@ -166,6 +187,12 @@ def build_range_index(
                     | (fn.astype(np.uint32) << 24)
                 ),
                 np.zeros(range_size, dtype=np.uint32),
+            ]
+        ),
+        post_impact=np.concatenate(
+            [
+                scores.astype(np.float32),
+                np.zeros(range_size, dtype=np.float32),
             ]
         ),
         tr_range=rng_of[starts].astype(np.int32),

@@ -99,6 +99,34 @@ class SealedSegment:
         """Per-token s0 = idf * (k1 + 1) (float64 [V])."""
         return idf(self.n_docs, self.token_df) * (self.options.k1 + 1.0)
 
+    def block_impacts(self, dtype=np.float32) -> np.ndarray:
+        """Precomputed per-posting scores [B, 128] (eager/impact scoring).
+
+        BM25 ignores query-side term frequency, so a posting's full score
+        contribution idf(df) * tf_sat(tf, fieldnorm) is known at build
+        time (the BM25S observation).  Query scoring reduces to gather +
+        segment-sum; computed in float64 and rounded once to `dtype`.
+        Padding slots score 0.
+        """
+        tables = self.score_tables()
+        s0 = self.token_s0()
+        block_token = np.repeat(
+            np.arange(self.n_tokens, dtype=np.int64),
+            np.diff(self.token_block_start),
+        )
+        fn = np.where(
+            self.block_docids < self.n_docs,
+            self.doc_fieldnorm[np.minimum(self.block_docids, self.n_docs - 1)],
+            0,
+        ).astype(np.int64)
+        t = self.block_tfs.astype(np.float64)
+        s1 = tables.s1_table[fn]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            imp = np.where(
+                t > 0, (t * s0[block_token][:, None]) / (t + s1), 0.0
+            )
+        return imp.astype(dtype)
+
     def lookup_tokens(self, keys: np.ndarray) -> np.ndarray:
         """Map 16-byte keys -> token ids; missing keys -> -1.
 

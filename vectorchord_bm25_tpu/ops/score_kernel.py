@@ -1,22 +1,19 @@
-"""Pallas TPU kernel: fused posting scoring + in-range accumulation.
+"""Pallas TPU kernel: fused in-range score accumulation.
 
-The hot inner op of Block-Max search: given gathered posting windows
-(one uint32 word per posting: local | tf16 << 8 | fn << 24, built at
-index time), produce the [RS] per-doc score vector for each
-(query, candidate range) row.
+The hot inner op of Block-Max search with impact-eager postings: each
+posting's full BM25 contribution was precomputed at build time (BM25S
+observation — query-side term frequency is ignored by the model), so
+query scoring is gather + in-range accumulation.
 
-XLA handles the irregular window *gather* well (and masks out-of-span
-lanes to zero words, so invalid postings carry tf=0), but its
-formulation of the rest materializes [rows, T, RS] intermediates for
-the fieldnorm->s1 table lookup and funnels the per-range accumulation
-through a conflict-prone scatter-add.  This kernel does that part in
-VMEM and converts both irregular accesses into MXU one-hot matmuls:
+XLA handles the irregular window *gather* well, but funnels the
+per-range accumulation (slot = range-relative doc id) through a
+conflict-prone scatter-add.  This kernel does that part in VMEM,
+converting the scatter into a one-hot matmul on the MXU:
 
-- the fieldnorm -> s1 lookup is one_hot(fn, 256) @ s1_table;
-- the per-range scatter (slot = local doc id) is score @ one_hot(local, RS).
+    acc[slots] += scores      ==>      acc += scores @ one_hot(local, RS)
 
-Rows are processed in sublane groups of 8 so every block satisfies the
-TPU (8, 128) tiling rule.
+Rows ((query, candidate-range) pairs) are processed in sublane groups of
+8 so every block satisfies the TPU (8, 128) tiling rule.
 """
 
 from __future__ import annotations
@@ -44,36 +41,16 @@ def pallas_available() -> bool:
 def _kernel(rs: int, t_terms: int):
     from jax.experimental import pallas as pl
 
-    def kernel(win_ref, s0_ref, s1_ref, out_ref):
-        iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    def kernel(imp_ref, loc_ref, out_ref):
         iota_slots = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
-        s1_col = s1_ref[:].reshape(256, 1)
 
         for i in range(_SUBLANES):
             acc = jnp.zeros((1, rs), dtype=jnp.float32)
             for t in range(t_terms):
-                w = win_ref[i, t * rs : (t + 1) * rs].reshape(rs, 1)
-                w = w.astype(jnp.int32)
-                local = w & 0xFF
-                tfv = (w >> 8) & 0xFFFF
-                fn = (w >> 24) & 0xFF
-                valid = tfv > 0  # out-of-span lanes were masked to 0 words
-
-                # s1 lookup via one-hot matmul on the MXU.
-                onehot_fn = (fn == iota256).astype(jnp.float32)  # [RS,256]
-                s1 = jax.lax.dot_general(
-                    onehot_fn,
-                    s1_col,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [RS,1]
-
-                tf_f = tfv.astype(jnp.float32)
-                s0 = s0_ref[i, t]
-                sc = jnp.where(valid, (tf_f * s0) / (tf_f + s1), 0.0)
-
-                # Scatter into range slots via one-hot matmul.
+                sc = imp_ref[i, t * rs : (t + 1) * rs].reshape(rs, 1)
+                local = loc_ref[i, t * rs : (t + 1) * rs].reshape(rs, 1)
+                # Scatter into range slots via one-hot matmul (exact: the
+                # one-hot factor is 0/1, scores stay float32).
                 onehot_loc = (local == iota_slots).astype(jnp.float32)
                 acc = acc + jax.lax.dot_general(
                     sc,
@@ -88,15 +65,17 @@ def _kernel(rs: int, t_terms: int):
 
 
 @functools.partial(jax.jit, static_argnames=("rs", "interpret"))
-def accumulate_rows(windows, s0, s1_table, *, rs, interpret=False):
-    """windows: [rows, T*RS] uint32 (invalid lanes zeroed); s0: [rows, T];
-    rows % 8 == 0.  Returns [rows, RS] float32 accumulated scores."""
+def accumulate_rows(imp_windows, loc_windows, *, rs, interpret=False):
+    """imp_windows: [rows, T*RS] float32 (invalid lanes zeroed);
+    loc_windows: [rows, T*RS] int32 range-relative slots; rows % 8 == 0.
+
+    Returns [rows, RS] float32 accumulated scores."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rows, twrs = windows.shape
-    t_terms = s0.shape[1]
-    assert twrs == t_terms * rs and rows % _SUBLANES == 0
+    rows, twrs = imp_windows.shape
+    assert twrs % rs == 0 and rows % _SUBLANES == 0
+    t_terms = twrs // rs
     grid_spec = pl.GridSpec(
         grid=(rows // _SUBLANES,),
         in_specs=[
@@ -104,10 +83,8 @@ def accumulate_rows(windows, s0, s1_table, *, rs, interpret=False):
                 (_SUBLANES, twrs), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_SUBLANES, t_terms), lambda g: (g, 0),
-                memory_space=pltpu.VMEM,
+                (_SUBLANES, twrs), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # s1 table (full)
         ],
         out_specs=pl.BlockSpec(
             (_SUBLANES, rs), lambda g: (g, 0), memory_space=pltpu.VMEM
@@ -118,23 +95,22 @@ def accumulate_rows(windows, s0, s1_table, *, rs, interpret=False):
         out_shape=jax.ShapeDtypeStruct((rows, rs), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(windows, s0, s1_table)
+    )(imp_windows, loc_windows)
 
 
 def fused_range_scores(
-    packed,  # [P] uint32 posting stream
-    s1_table,  # [256] float32
+    post_impact,  # [P] float32 posting scores (pad = 0)
+    post_local,  # [P] uint8 range-relative doc ids
     starts,  # [Q, T, C] int32 window starts (pad: any in-bounds index)
     lens,  # [Q, T, C] int32 window lengths (0 = inactive)
-    s0,  # [Q, T] float32
     *,
     rs: int,
     interpret: bool = False,
 ):
     """Returns [Q, C, RS] float32 per-(query, candidate, slot) scores.
 
-    The irregular window gather (+ length masking) runs in XLA; scoring +
-    accumulation run in the Pallas kernel.
+    The irregular window gather (+ length masking) runs in XLA; the
+    accumulation runs in the Pallas kernel.
     """
     q, t_terms, c = starts.shape
     rows = q * c
@@ -145,17 +121,18 @@ def fused_range_scores(
     ln = jnp.moveaxis(lens, 1, 2)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, rs), 3)
     idx = st[..., None] + lane
-    w = packed[idx]
-    w = jnp.where(lane < ln[..., None], w, jnp.uint32(0))
-    windows = w.reshape(rows, t_terms * rs)
-    s0r = jnp.broadcast_to(s0[:, None, :], (q, c, t_terms)).reshape(
-        rows, t_terms
-    )
+    valid = lane < ln[..., None]
+    imp = jnp.where(valid, post_impact[idx], 0.0)
+    loc = post_local[idx].astype(jnp.int32)
+    imp_windows = imp.reshape(rows, t_terms * rs)
+    loc_windows = loc.reshape(rows, t_terms * rs)
     if rows_pad != rows:
         pad = rows_pad - rows
-        windows = jnp.concatenate(
-            [windows, jnp.zeros((pad, t_terms * rs), windows.dtype)]
+        imp_windows = jnp.concatenate(
+            [imp_windows, jnp.zeros((pad, t_terms * rs), imp_windows.dtype)]
         )
-        s0r = jnp.concatenate([s0r, jnp.zeros((pad, t_terms), s0r.dtype)])
-    out = accumulate_rows(windows, s0r, s1_table, rs=rs, interpret=interpret)
+        loc_windows = jnp.concatenate(
+            [loc_windows, jnp.zeros((pad, t_terms * rs), loc_windows.dtype)]
+        )
+    out = accumulate_rows(imp_windows, loc_windows, rs=rs, interpret=interpret)
     return out[:rows].reshape(q, c, rs)

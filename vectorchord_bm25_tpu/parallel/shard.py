@@ -220,9 +220,20 @@ class ShardedIndex:
         from ..index.ranges import build_range_index
 
         d = self.n_shards
-        self._range_indexes = [
-            build_range_index(v.segment) for v in self.views
-        ]
+        # Impacts must bake in GLOBAL statistics (idf over all shards).
+        self._range_indexes = []
+        for v in self.views:
+            gid = np.searchsorted(self.token_keys, v.segment.token_keys)
+            self._range_indexes.append(
+                build_range_index(
+                    v.segment,
+                    global_stats=(
+                        self.n_docs,
+                        self.sum_dl,
+                        self.token_s0[gid],
+                    ),
+                )
+            )
         ris = self._range_indexes
         self._rs = ris[0].range_size
         rmax = -(-self._nmax // self._rs)
@@ -232,28 +243,26 @@ class ShardedIndex:
         pmax = max(ri.post_packed.size for ri in ris)
         mmax = max(ri.tr_range.size for ri in ris)
 
-        packed = np.zeros((d, pmax), dtype=np.uint32)
+        impact = np.zeros((d, pmax), dtype=np.float32)
+        local = np.zeros((d, pmax), dtype=np.uint8)
         tr_range = np.full((d, mmax + 1), np.iinfo(np.int32).max, np.int32)
         tr_start = np.zeros((d, mmax + 1), dtype=np.int32)
         tr_len = np.zeros((d, mmax + 1), dtype=np.int32)
         tr_ub = np.zeros((d, mmax + 1), dtype=np.float32)
         csr = np.zeros((d, vmax + 2), dtype=np.int32)
-        s0 = np.zeros((d, vmax + 1), dtype=np.float32)
         term_l = np.zeros((d, vmax), dtype=np.int64)
 
         for i, (view, ri) in enumerate(zip(self.views, ris)):
             v = view.segment.n_tokens
             m = ri.tr_range.size
-            packed[i, : ri.post_packed.size] = ri.post_packed
+            impact[i, : ri.post_impact.size] = ri.post_impact
+            local[i, : ri.post_local.size] = ri.post_local
             tr_range[i, :m] = ri.tr_range
             tr_start[i, :m] = ri.tr_start
             tr_len[i, :m] = ri.tr_len
             tr_ub[i, :m] = ri.tr_ub
             csr[i, : v + 1] = ri.token_tr_start
             csr[i, v + 1 :] = ri.token_tr_start[v]
-            # s0 must use GLOBAL df (idf from the merged stats).
-            gid = np.searchsorted(self.token_keys, view.segment.token_keys)
-            s0[i, :v] = self.token_s0[gid].astype(np.float32)
             term_l[i, :v] = np.diff(ri.token_tr_start)
         self._term_l_shard = term_l
 
@@ -265,13 +274,13 @@ class ShardedIndex:
                 ),
             )
 
-        self.dev_bm_packed = shard_put(packed)
+        self.dev_bm_impact = shard_put(impact)
+        self.dev_bm_local = shard_put(local)
         self.dev_bm_tr_range = shard_put(tr_range)
         self.dev_bm_tr_start = shard_put(tr_start)
         self.dev_bm_tr_len = shard_put(tr_len)
         self.dev_bm_tr_ub = shard_put(tr_ub)
         self.dev_bm_csr = shard_put(csr)
-        self.dev_bm_s0 = shard_put(s0)
 
     def _prepare_blockmax(self, queries: Sequence[Query]):
         """Per-shard local term ids for the pruned engine."""
@@ -315,16 +324,15 @@ class ShardedIndex:
         max_rounds = -(-rmax // chunk) + 1
 
         def local_and_merge(
-            packed, tr_range, tr_start, tr_len, tr_ub, csr, s0,
-            doc_live, doc_offset, q_tid_s, s1_table,
+            impact, local, tr_range, tr_start, tr_len, tr_ub, csr,
+            doc_live, doc_offset, q_tid_s,
         ):
             ones = jnp.ones(nmax + 1, dtype=jnp.float32)
             l_scores, l_ids, _ = _blockmax_kernel(
-                packed[0],
+                impact[0],
+                local[0],
                 doc_live[0],
                 ones,
-                s1_table,
-                s0[0],
                 tr_range[0],
                 tr_start[0],
                 tr_len[0],
@@ -357,7 +365,7 @@ class ShardedIndex:
             mesh=self.mesh,
             in_specs=(
                 P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                P(axis), P(axis), P(axis), P(axis), P(),
+                P(axis), P(axis), P(axis), P(axis),
             ),
             out_specs=(P(), P()),
             check_vma=False,
@@ -368,20 +376,22 @@ class ShardedIndex:
         import jax.numpy as jnp
 
         q_tid, lmax = self._prepare_blockmax(queries)
-        kk = min(_bucket(k, 1), max(self._nmax, 1))
         chunk = min(64, self._rmax)
+        # Per-shard k must not be capped by the shard's doc count: the
+        # merged global top-k needs k candidates per shard when available
+        # (cap only by the per-round candidate pool).
+        kk = min(_bucket(k, 1), chunk * self._rs)
         scores, gids = self._sharded_blockmax_fn(kk, lmax, chunk)(
-            self.dev_bm_packed,
+            self.dev_bm_impact,
+            self.dev_bm_local,
             self.dev_bm_tr_range,
             self.dev_bm_tr_start,
             self.dev_bm_tr_len,
             self.dev_bm_tr_ub,
             self.dev_bm_csr,
-            self.dev_bm_s0,
             self.dev_doc_live,
             self.dev_doc_offsets,
             jnp.asarray(q_tid),
-            self.dev_s1,
         )
         return scores, gids
 
@@ -486,6 +496,13 @@ class ShardedIndex:
 
             acc = jax.vmap(accumulate)(d, sc)[:, :nmax]
             masked = jnp.where(acc > 0.0, acc, -jnp.inf)
+            if k > nmax:
+                # Small shards: pad so every shard still offers k
+                # candidate slots to the global merge.
+                masked = jnp.pad(
+                    masked, ((0, 0), (0, k - nmax)),
+                    constant_values=-jnp.inf,
+                )
             l_scores, l_ids = jax.lax.top_k(masked, k)  # [Q, k]
             invalid = jnp.int32(np.iinfo(np.int32).max)
             g_ids = jnp.where(
@@ -530,7 +547,7 @@ class ShardedIndex:
             scores, gids = self._search_blockmax(queries, k)
         else:
             q_s0, blk_ids, blk_slot = self._prepare(queries)
-            kk = min(_bucket(k, 1), max(self._nmax, 1))
+            kk = _bucket(k, 1)
             scores, gids = self._sharded_search_fn(kk)(
                 self.dev_blk_docs,
                 self.dev_blk_tfs,

@@ -46,11 +46,10 @@ def _bucket(x: int, minimum: int = 8) -> int:
 
 
 def _blockmax_kernel(
-    post_packed,  # [P] uint32 postings: local | tf16 << 8 | fieldnorm << 24
+    post_impact,  # [P] float32 precomputed per-posting scores (pad = 0)
+    post_local,  # [P] uint8 range-relative doc ids
     doc_live,  # [N+1] float32
     filter_mask,  # [N+1] float32
-    s1_table,  # [256] float32
-    token_s0,  # [V+1] float32 (null term: 0)
     tr_range,  # [M+1] int32 (pad slot: INT_MAX)
     tr_start,  # [M+1] int32
     tr_len,  # [M+1] int32
@@ -85,7 +84,6 @@ def _blockmax_kernel(
     qt_start = jnp.where(lmask, tr_start[widx], 0)
     qt_len = jnp.where(lmask, tr_len[widx], 0)
     qt_ub = jnp.where(lmask, tr_ub[widx], 0.0)
-    q_s0 = token_s0[q_tid]  # [Q, T]
 
     # Phase 1: dense per-range upper bounds (Σ over terms).
     flat_r = qt_range.reshape(q, t * lmax)
@@ -142,29 +140,24 @@ def _blockmax_kernel(
         length = jnp.where(found, jnp.take_along_axis(qt_len, idx, axis=2), 0)
 
         if use_pallas:
-            # Fused Pallas kernel: one-hot MXU matmuls for the s1 lookup
-            # and the per-range accumulation (ops/score_kernel.py).
+            # Fused Pallas kernel: the per-range accumulation becomes a
+            # one-hot MXU matmul (ops/score_kernel.py).
             # use_pallas == "interpret" runs the kernel in interpreter
             # mode (CPU test coverage).
             from ..ops.score_kernel import fused_range_scores
 
             acc = fused_range_scores(
-                post_packed, s1_table, start, length, q_s0,
+                post_impact, post_local, start, length,
                 rs=rs, interpret=use_pallas == "interpret",
             )  # [Q, C, RS]
         else:
-            # XLA path: gather windows [Q, T, C, RS], decode the packed
-            # words (one fused add, no bit unpacking on the VPU), score,
-            # scatter-add into per-range accumulators.
+            # XLA path: gather impact + local windows [Q, T, C, RS] and
+            # scatter-add into per-range accumulators (impact-eager
+            # scoring: no table lookups or divisions at query time).
             gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
             valid = rs_iota < length[..., None]
-            w = post_packed[gidx].astype(jnp.int32)
-            local = w & 0xFF
-            tf = ((w >> 8) & 0xFFFF).astype(jnp.float32)
-            fn = (w >> 24) & 0xFF
-            s1 = s1_table[fn]
-            s0 = q_s0[:, :, None, None]
-            sc = jnp.where(valid & (tf > 0.0), (tf * s0) / (tf + s1), 0.0)
+            sc = jnp.where(valid, post_impact[gidx], 0.0)
+            local = post_local[gidx].astype(jnp.int32)
             qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
             acc = jnp.zeros((q, c, rs), dtype=jnp.float32)
@@ -246,7 +239,8 @@ class BlockMaxEngine:
         tts = np.zeros(v + 2, dtype=np.int32)
         tts[: v + 1] = ri.token_tr_start
         tts[v + 1] = tts[v]
-        self.dev_post_packed = jnp.asarray(ri.post_packed)
+        self.dev_post_impact = jnp.asarray(ri.post_impact)
+        self.dev_post_local = jnp.asarray(ri.post_local)
         self.dev_tr_range = jnp.asarray(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
         )
@@ -258,12 +252,8 @@ class BlockMaxEngine:
             np.append(ri.tr_ub, 0.0).astype(np.float32)
         )
         self.dev_token_tr_start = jnp.asarray(tts)
-        # Per-term L (for the lmax bucket) and s0.
+        # Per-term L (for the lmax bucket).
         self._term_l = np.diff(ri.token_tr_start)
-        s0 = np.zeros(v + 1, dtype=np.float32)
-        if v:
-            s0[:v] = segment.token_s0().astype(np.float32)
-        self.dev_token_s0 = jnp.asarray(s0)
 
     def set_deleted(self, deleted: np.ndarray) -> None:
         self.dev.set_deleted(deleted)
@@ -329,11 +319,10 @@ class BlockMaxEngine:
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
         max_rounds = -(-ri.n_ranges // self.chunk) + 1
         scores, ids, rounds = _jitted_kernel()(
-            self.dev_post_packed,
+            self.dev_post_impact,
+            self.dev_post_local,
             dev.doc_live,
             fm_dev,
-            dev.s1_table,
-            self.dev_token_s0,
             self.dev_tr_range,
             self.dev_tr_start,
             self.dev_tr_len,

@@ -41,6 +41,7 @@ class DeviceSegment:
     # [B+1, 128] arrays (last row = pad block).
     block_docids: object  # int32
     block_tfs: object  # int32
+    block_impact: object  # float32 precomputed per-posting scores (pad = 0)
 
     # [B+1] block metadata.
     block_min_doc: object  # int32
@@ -85,11 +86,13 @@ class DeviceSegment:
 
         bd = np.full((b + 1, BLOCK), n, dtype=np.int32)
         bt = np.zeros((b + 1, BLOCK), dtype=np.int32)
+        bi = np.zeros((b + 1, BLOCK), dtype=np.float32)
         bmin = np.full(b + 1, np.iinfo(np.int32).max, dtype=np.int32)
         bmax = np.full(b + 1, np.iinfo(np.int32).max, dtype=np.int32)
         if b:
             bd[:b] = seg.block_docids
             bt[:b] = seg.block_tfs
+            bi[:b] = seg.block_impacts()
             bmin[:b] = seg.block_min_doc
             bmax[:b] = seg.block_max_doc
 
@@ -140,6 +143,7 @@ class DeviceSegment:
             doc_payload=put(payload),
             block_docids=put(bd),
             block_tfs=put(bt),
+            block_impact=put(bi),
             block_min_doc=put(bmin),
             block_max_doc=put(bmax),
             block_ub=put(block_ub.astype(np.float32)),

@@ -47,27 +47,20 @@ def _jitted_score_and_topk():
 
 def _score_and_topk(
     block_docids,  # [B+1, 128] int32
-    block_tfs,  # [B+1, 128] int32
-    doc_fieldnorm,  # [N+1] int32
+    block_impact,  # [B+1, 128] float32 precomputed scores (pad = 0)
     doc_live,  # [N+1] float32
-    s1_table,  # [256] float32
-    q_s0,  # [Q, T] float32 (0 for null slots)
     blk_ids,  # [Q, P] int32 (pad = B)
-    blk_slot,  # [Q, P] int32 term slot of each block (pad = 0)
     filter_mask,  # [N+1] float32 (1 keep)
     k: int,
     n_docs: int,
 ):
+    """Impact-eager scoring (BM25S-style): the per-posting score was
+    precomputed at build time, so scoring is gather + segment-sum."""
     import jax
     import jax.numpy as jnp
 
     d = block_docids[blk_ids]  # [Q, P, 128]
-    t = block_tfs[blk_ids].astype(jnp.float32)
-    fn = doc_fieldnorm[d]
-    s1 = s1_table[fn]
-    s0 = jnp.take_along_axis(q_s0, blk_slot, axis=1)[..., None]  # [Q, P, 1]
-    sc = jnp.where(t > 0.0, (t * s0) / (t + s1), 0.0)
-    sc = sc * doc_live[d]
+    sc = block_impact[blk_ids] * doc_live[d]
 
     def accumulate(docs_q, scores_q):
         acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
@@ -92,47 +85,30 @@ class ExactEngine:
         self.dev.set_deleted(deleted)
 
     def _prepare(self, queries: Sequence[Query]):
-        """Host-side batch assembly: term ids, padded block lists."""
+        """Host-side batch assembly: padded per-query block lists."""
         seg = self.segment
         q = len(queries)
-        term_ids: List[np.ndarray] = []
-        for query in queries:
-            ids = seg.lookup_tokens(query.keys)
-            term_ids.append(ids[ids >= 0].astype(np.int64))
-
-        t_max = _bucket(max((x.size for x in term_ids), default=1), 4)
         starts = seg.token_block_start
         block_lists = []
-        slot_lists = []
-        for ids in term_ids:
+        for query in queries:
+            ids = seg.lookup_tokens(query.keys)
+            ids = ids[ids >= 0].astype(np.int64)
             if ids.size:
                 los = starts[ids].astype(np.int64)
                 his = starts[ids + 1].astype(np.int64)
-                cnt = his - los
                 blocks = np.concatenate(
                     [np.arange(lo, hi, dtype=np.int64) for lo, hi in zip(los, his)]
                 )
-                slots = np.repeat(np.arange(ids.size, dtype=np.int64), cnt)
             else:
                 blocks = np.zeros(0, dtype=np.int64)
-                slots = np.zeros(0, dtype=np.int64)
             block_lists.append(blocks)
-            slot_lists.append(slots)
 
         p_max = _bucket(max((x.size for x in block_lists), default=1), 8)
-        s0_all = seg.token_s0()
-
-        q_s0 = np.zeros((q, t_max), dtype=np.float32)
         blk_ids = np.full((q, p_max), seg.n_blocks, dtype=np.int32)
-        blk_slot = np.zeros((q, p_max), dtype=np.int32)
-        for i, ids in enumerate(term_ids):
-            if ids.size:
-                q_s0[i, : ids.size] = s0_all[ids].astype(np.float32)
-            nb = block_lists[i].size
-            if nb:
-                blk_ids[i, :nb] = block_lists[i]
-                blk_slot[i, :nb] = slot_lists[i]
-        return q_s0, blk_ids, blk_slot
+        for i, blocks in enumerate(block_lists):
+            if blocks.size:
+                blk_ids[i, : blocks.size] = blocks
+        return blk_ids
 
     def search(
         self,
@@ -152,7 +128,7 @@ class ExactEngine:
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
         dev = self.dev
-        q_s0, blk_ids, blk_slot = self._prepare(queries)
+        blk_ids = self._prepare(queries)
 
         if filter_mask is not None:
             fm = np.ones(dev.n_docs + 1, dtype=np.float32)
@@ -164,13 +140,9 @@ class ExactEngine:
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
         scores, ids = _jitted_score_and_topk()(
             dev.block_docids,
-            dev.block_tfs,
-            dev.doc_fieldnorm,
+            dev.block_impact,
             dev.doc_live,
-            dev.s1_table,
-            jnp.asarray(q_s0),
             jnp.asarray(blk_ids),
-            jnp.asarray(blk_slot),
             fm_dev,
             k=kk,
             n_docs=dev.n_docs,
