@@ -132,7 +132,14 @@ def build_out_of_core(
         if n_workers == 1:
             results = [_tokenize_shard(jobs[0])]
         else:
-            with ProcessPoolExecutor(max_workers=n_workers) as pool:
+            # Spawn (not fork): the parent may have live JAX threads, and
+            # forking a multithreaded process can deadlock.
+            import multiprocessing
+
+            ctx = multiprocessing.get_context("spawn")
+            with ProcessPoolExecutor(
+                max_workers=n_workers, mp_context=ctx
+            ) as pool:
                 results = list(pool.map(_tokenize_shard, jobs))
         if progress is not None:
             progress("scan", n, n)
