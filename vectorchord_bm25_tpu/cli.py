@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -162,6 +163,13 @@ def cmd_inspect(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="vectorchord-bm25-tpu")
+    parser.add_argument(
+        "--platform",
+        choices=["auto", "cpu", "tpu"],
+        default=os.environ.get("VCBM25_PLATFORM", "auto"),
+        help="force the JAX backend (the TPU plugin ignores JAX_PLATFORMS; "
+        "this flag forces it through jax.config)",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("build", help="build an index from a corpus file")
@@ -205,6 +213,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_inspect)
 
     args = parser.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 
