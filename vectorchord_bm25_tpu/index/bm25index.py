@@ -249,12 +249,22 @@ class Bm25Index:
     ) -> List[SearchHit]:
         """Top-k search merging sealed (device) and growing (host) results.
 
-        filter_fn: payload predicate evaluated inside retrieval (prefilter
-        semantics — the threshold stays honest under filtering).
+        filter_fn: payload predicate.  With prefilter enabled (reloption /
+        session override, the reference's `prefilter` semantics) it is
+        evaluated inside retrieval so the top-k threshold stays honest;
+        otherwise it is applied to the k retrieved results (the planner-
+        applies-quals-afterwards behavior), which can return fewer than k.
         """
         query = self._unbind(query)
+        sess = session or SessionConfig()
         if k is None:
-            k = (session or SessionConfig()).resolve_limit(self.search_options)
+            k = sess.resolve_limit(self.search_options)
+        if filter_fn is not None and not sess.resolve_prefilter(
+            self.search_options
+        ):
+            # Post-filter mode: retrieve unfiltered, filter the results.
+            hits = self.search(query, k=k, filter_fn=None, session=session)
+            return [h for h in hits if filter_fn(h.payload)]
         if k == -1:
             # 0.2.x bm25_catalog.bm25_limit = -1: brute force, return every
             # document with score > 0 (README.md:462-466).

@@ -80,7 +80,7 @@ class GrowingSegment:
         Returns (scores float64 [G], payloads int64 [G]); scores use the
         sealed segment's Cache tables (search.rs:83-135 semantics).
         Deleted / filtered docs score 0 (and are thus excluded by the
-        score > 0 rule).
+        score > 0 rule).  Vectorized over the flattened posting arrays.
         """
         g = len(self.documents)
         scores = np.zeros(g, dtype=np.float64)
@@ -89,26 +89,45 @@ class GrowingSegment:
 
         seg = self.sealed
         q_tids = seg.lookup_tokens(query.keys)
-        q_tids = q_tids[q_tids >= 0]
+        q_tids = np.sort(q_tids[q_tids >= 0])
         if q_tids.size:
             tables = seg.score_tables()
             s0_all = seg.token_s0()
-            q_set = set(int(t) for t in q_tids)
-            for i in range(g):
-                if self.deleted[i]:
-                    continue
-                if filter_fn is not None and not filter_fn(self.payloads[i]):
-                    continue
-                tids = self._tid[i]
-                tfs = self._tf[i]
-                fn = self.fieldnorms[i]
-                total = 0.0
-                for t, v in zip(tids, tfs):
-                    if int(t) in q_set:
-                        total += float(
-                            tables.evaluate(s0_all[int(t)], fn, int(v))
-                        )
-                scores[i] = total
+            tids = (
+                np.concatenate(self._tid)
+                if self._tid
+                else np.zeros(0, dtype=np.int64)
+            )
+            tfs = (
+                np.concatenate(self._tf)
+                if self._tf
+                else np.zeros(0, dtype=np.int64)
+            )
+            doc_of = np.repeat(
+                np.arange(g, dtype=np.int64),
+                [t.size for t in self._tid],
+            )
+            # Postings whose sealed term id is in the query's set.
+            pos = np.searchsorted(q_tids, tids)
+            pos = np.minimum(pos, q_tids.size - 1)
+            hit = (tids >= 0) & (q_tids[pos] == tids)
+            if np.any(hit):
+                h_doc = doc_of[hit]
+                h_tid = tids[hit]
+                h_tf = tfs[hit].astype(np.float64)
+                fn = np.asarray(self.fieldnorms, dtype=np.int64)[h_doc]
+                s1 = tables.s1_table[fn]
+                contrib = (h_tf * s0_all[h_tid]) / (h_tf + s1)
+                np.add.at(scores, h_doc, contrib)
+            dead = np.asarray(self.deleted, dtype=bool)
+            scores[dead] = 0.0
+            if filter_fn is not None:
+                keep = np.fromiter(
+                    (bool(filter_fn(p)) for p in self.payloads),
+                    dtype=bool,
+                    count=g,
+                )
+                scores[~keep] = 0.0
         return scores, np.asarray(self.payloads, dtype=np.int64)
 
     def live_documents(self) -> List[Tuple[int, Document]]:
