@@ -142,12 +142,16 @@ def cmd_inspect(args):
         "engine": index.engine_kind,
         "sealed_bytes": seg.memory_bytes(),
     }
+    from .index.ranges import build_range_index
+    from .text.intern import intern
+
+    ri = build_range_index(seg)
+    info["range_index_bytes"] = ri.memory_bytes()
+    info["bytes_per_posting"] = round(
+        ri.memory_bytes() / max(1, ri.post_local.size - ri.range_size), 2
+    )
     if args.token is not None:
-        tid = seg.lookup_tokens(
-            __import__(
-                "vectorchord_bm25_tpu.text.intern", fromlist=["intern"]
-            ).intern(index.seed, args.token)
-        )
+        tid = seg.lookup_tokens(intern(index.seed, args.token))
         if tid >= 0:
             info["token"] = {
                 "id": int(tid),
