@@ -87,9 +87,15 @@ class RangeIndex:
         )
 
 
+def default_range_size(n_docs: int) -> int:
+    """Scale-aware default: larger ranges at larger corpus sizes keep the
+    per-range metadata and the round count bounded (u8 locals cap at 256)."""
+    return 128 if n_docs < 500_000 else 256
+
+
 def build_range_index(
     seg: SealedSegment,
-    range_size: int = RANGE,
+    range_size: "int | None" = None,
     global_stats: "tuple | None" = None,
 ) -> RangeIndex:
     """Derive the range index from a sealed segment's postings.
@@ -100,6 +106,8 @@ def build_range_index(
     reference's parallel build likewise computes statistics globally
     before flush).
     """
+    if range_size is None:
+        range_size = default_range_size(seg.n_docs)
     if not (1 <= range_size <= 256):
         raise ValueError("range_size must be in [1, 256] (u8 local ids)")
     n = seg.n_docs

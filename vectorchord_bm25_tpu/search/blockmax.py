@@ -213,7 +213,7 @@ class BlockMaxEngine:
         self,
         segment: SealedSegment,
         range_index: Optional[RangeIndex] = None,
-        chunk: int = 64,
+        chunk: Optional[int] = None,
         device=None,
         use_pallas: Optional[bool] = None,
     ):
@@ -223,6 +223,10 @@ class BlockMaxEngine:
 
         self.segment = segment
         self.ranges = range_index or build_range_index(segment)
+        if chunk is None:
+            # Scale-aware: keep the worst-case round count bounded while
+            # not over-gathering on small corpora.
+            chunk = min(256, max(32, self.ranges.n_ranges // 64))
         self.chunk = chunk
         self.use_pallas = (
             pallas_available() if use_pallas is None else use_pallas

@@ -75,11 +75,22 @@ def _score_and_topk(
 
 
 class ExactEngine:
-    """Batched exact search over one sealed segment."""
+    """Batched exact search over one sealed segment.
 
-    def __init__(self, segment: SealedSegment, device=None):
+    The dense per-query accumulator is [Q, n_docs] float32; to bound HBM,
+    query batches are internally split so one dispatch's accumulator stays
+    under `accumulator_budget` bytes (default 1 GiB).
+    """
+
+    def __init__(
+        self,
+        segment: SealedSegment,
+        device=None,
+        accumulator_budget: int = 1 << 30,
+    ):
         self.segment = segment
         self.dev = DeviceSegment.from_sealed(segment, device=device)
+        self.accumulator_budget = accumulator_budget
 
     def set_deleted(self, deleted: np.ndarray) -> None:
         self.dev.set_deleted(deleted)
@@ -128,6 +139,20 @@ class ExactEngine:
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
         dev = self.dev
+
+        # Sub-batch so the [Q, N] accumulator fits the budget.
+        q_cap = max(1, self.accumulator_budget // (4 * (dev.n_docs + 1)))
+        if len(queries) > q_cap:
+            parts = [
+                self.search(list(queries)[i : i + q_cap], k, filter_mask)
+                for i in range(0, len(queries), q_cap)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+
         blk_ids = self._prepare(queries)
 
         if filter_mask is not None:

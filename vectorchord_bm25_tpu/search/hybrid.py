@@ -40,7 +40,7 @@ class HybridEngine:
         segment: SealedSegment,
         range_index: Optional[RangeIndex] = None,
         route_threshold: float = 0.10,
-        chunk: int = 64,
+        chunk: Optional[int] = None,
         device=None,
         use_pallas: Optional[bool] = None,
     ):
