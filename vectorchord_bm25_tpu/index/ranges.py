@@ -44,20 +44,12 @@ class RangeIndex:
     post_docid: np.ndarray  # [total + range_size] int32 (pad = n_docs)
     post_tf: np.ndarray  # [total + range_size] int32 (pad = 0)
 
-    # Compact forms (the byte-packing analog, compression.rs:52-62): doc
-    # ids stored range-relative in one byte (requires range_size <= 256),
-    # term frequencies saturated to uint16.  These are what the pruned
-    # engine keeps in HBM — 3 bytes/posting instead of 8.
+    # Compact device forms (the byte-packing analog, compression.rs:52-62,
+    # fused with impact-eager scoring): doc ids stored range-relative in
+    # one byte (requires range_size <= 256) and the posting's full
+    # precomputed score (BM25S-style) — query scoring is gather + sum
+    # with no table lookups or divisions, at 5 bytes/posting in HBM.
     post_local: np.ndarray  # [total + range_size] uint8 (doc - range*RS)
-    post_tf16: np.ndarray  # [total + range_size] uint16 (min(tf, 65535))
-
-    # Fully fused form for the Pallas kernel: one uint32 word per posting,
-    # local | tf16 << 8 | fieldnorm << 24 — a single DMA stream carries
-    # everything the scoring kernel needs.
-    post_packed: np.ndarray  # [total + range_size] uint32
-
-    # Impact-eager form (BM25S-style): the posting's full precomputed
-    # score — query scoring is gather + sum, no table lookups/divisions.
     post_impact: np.ndarray  # [total + range_size] float32 (pad = 0)
 
     # Per-(term, range) groups, term-major then range-ascending.
@@ -122,8 +114,6 @@ def build_range_index(
             post_docid=np.full(range_size, n, dtype=np.int32),
             post_tf=np.zeros(range_size, dtype=np.int32),
             post_local=np.zeros(range_size, dtype=np.uint8),
-            post_tf16=np.zeros(range_size, dtype=np.uint16),
-            post_packed=np.zeros(range_size, dtype=np.uint32),
             post_impact=np.zeros(range_size, dtype=np.float32),
             tr_range=np.zeros(0, dtype=np.int32),
             tr_start=np.zeros(0, dtype=np.int32),
@@ -180,22 +170,6 @@ def build_range_index(
         post_tf=np.concatenate([tfv.astype(np.int32), pad_tf]),
         post_local=np.concatenate(
             [local, np.zeros(range_size, dtype=np.uint8)]
-        ),
-        post_tf16=np.concatenate(
-            [
-                np.minimum(tfv, 0xFFFF).astype(np.uint16),
-                np.zeros(range_size, dtype=np.uint16),
-            ]
-        ),
-        post_packed=np.concatenate(
-            [
-                (
-                    local.astype(np.uint32)
-                    | (np.minimum(tfv, 0xFFFF).astype(np.uint32) << 8)
-                    | (fn.astype(np.uint32) << 24)
-                ),
-                np.zeros(range_size, dtype=np.uint32),
-            ]
         ),
         post_impact=np.concatenate(
             [

@@ -240,7 +240,7 @@ class ShardedIndex:
         self._rmax = max(rmax, 1)
         vmax = max(max((v.segment.n_tokens for v in self.views), default=1), 1)
         self._vmax = vmax
-        pmax = max(ri.post_packed.size for ri in ris)
+        pmax = max(ri.post_impact.size for ri in ris)
         mmax = max(ri.tr_range.size for ri in ris)
 
         impact = np.zeros((d, pmax), dtype=np.float32)
