@@ -201,6 +201,25 @@ def main():
         dt = time.perf_counter() - t0
         best_qps = max(best_qps, total / dt)
 
+    # Recall@k vs the exhaustive float64 oracle (BASELINE.json's recall
+    # metric) on a query sample — engines are exact by construction, so
+    # this should print 1.0; reported to stderr to keep stdout one line.
+    import sys as _sys
+
+    from vectorchord_bm25_tpu.search.exact import oracle_topk
+
+    sample = queries[: min(32, len(queries))]
+    scores_s, ids_s, _ = engine.search(sample, args.k)
+    hits = 0
+    total = 0
+    for qi, query in enumerate(sample):
+        _, o_ids = oracle_topk(seg, query, args.k, dtype=np.float64)
+        got = set(int(x) for x in ids_s[qi] if x >= 0)
+        hits += len(got & set(int(x) for x in o_ids))
+        total += len(o_ids)
+    recall = hits / total if total else 1.0
+    print(f"recall@{args.k} vs exhaustive oracle: {recall:.4f}", file=_sys.stderr)
+
     baseline = 28.38  # reference trec-covid QPS (README.md:389-394)
     print(
         json.dumps(
