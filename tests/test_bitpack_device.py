@@ -1,0 +1,107 @@
+"""Device unpack op + compressed segment storage round-trips."""
+
+import numpy as np
+import pytest
+
+from vectorchord_bm25_tpu.index.sealed import build_sealed_segment
+from vectorchord_bm25_tpu.index.storage import load_segment, save_segment
+from vectorchord_bm25_tpu.native import loader
+from vectorchord_bm25_tpu.ops.bitpack import (
+    pack_u32_np,
+    unpack_block_device,
+    unpack_u32_np,
+)
+from vectorchord_bm25_tpu.utils.options import IndexOptions
+
+from test_sealed import make_docs
+
+
+class TestNumpyCodec:
+    @pytest.mark.parametrize("bits", [0, 1, 3, 7, 8, 13, 20, 31, 32])
+    def test_roundtrip(self, rng, bits):
+        hi = 2**bits if bits < 32 else 2**32
+        vals = rng.integers(0, hi, size=128, dtype=np.uint64).astype(np.uint32)
+        if bits == 0:
+            vals[:] = 0
+        packed = pack_u32_np(vals, bits)
+        out = unpack_u32_np(packed, bits, 128)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_matches_native_layout(self, rng):
+        if not loader.available():
+            pytest.skip("native library not built")
+        vals = rng.integers(0, 2**17, size=(4, 128)).astype(np.uint32)
+        packed, bits, offsets = loader.compress_blocks(vals)  # unordered
+        for i in range(4):
+            chunk = packed[offsets[i] : offsets[i + 1]]
+            words = np.frombuffer(
+                chunk.tobytes().ljust(-(-chunk.size // 4) * 4, b"\x00"),
+                dtype=np.uint32,
+            )
+            out = unpack_u32_np(words, int(bits[i]), 128)
+            np.testing.assert_array_equal(out, vals[i])
+
+
+class TestDeviceUnpack:
+    @pytest.mark.parametrize("bits", [1, 5, 11, 17, 24, 31])
+    def test_matches_numpy(self, rng, bits):
+        vals = rng.integers(0, 2**bits, size=128, dtype=np.uint64).astype(
+            np.uint32
+        )
+        packed = pack_u32_np(vals, bits)
+        padded = np.concatenate([packed, np.zeros(1, np.uint32)])
+        out = np.asarray(unpack_block_device(padded, bits, 128))
+        np.testing.assert_array_equal(out, vals)
+
+
+class TestCompressedStorage:
+    def _roundtrip(self, seg, tmp_path, compress):
+        path = str(tmp_path / "seg.npz")
+        save_segment(seg, path, compress=compress)
+        back = load_segment(path, seg.options, seg.n_docs, seg.sum_dl)
+        np.testing.assert_array_equal(back.block_docids, seg.block_docids)
+        np.testing.assert_array_equal(back.block_tfs, seg.block_tfs)
+        np.testing.assert_array_equal(back.token_keys, seg.token_keys)
+        return path
+
+    def test_compressed_roundtrip(self, rng, tmp_path):
+        docs = make_docs(rng, 400, vocab=12)
+        seg = build_sealed_segment(docs, options=IndexOptions())
+        self._roundtrip(seg, tmp_path, compress=True)
+
+    def test_uncompressed_roundtrip(self, rng, tmp_path):
+        docs = make_docs(rng, 50, vocab=6)
+        seg = build_sealed_segment(docs)
+        self._roundtrip(seg, tmp_path, compress=False)
+
+    def test_numpy_fallback_roundtrip(self, rng, tmp_path, monkeypatch):
+        # Force the numpy codec paths on both save and load.
+        monkeypatch.setattr(loader, "compress_blocks", lambda *a, **k: None)
+        monkeypatch.setattr(loader, "decompress_blocks", lambda *a, **k: None)
+        docs = make_docs(rng, 300, vocab=8)
+        seg = build_sealed_segment(docs)
+        self._roundtrip(seg, tmp_path, compress=True)
+
+    def test_cross_codec_compat(self, rng, tmp_path, monkeypatch):
+        # Save with native, load with numpy fallback (same byte layout).
+        if not loader.available():
+            pytest.skip("native library not built")
+        docs = make_docs(rng, 300, vocab=8)
+        seg = build_sealed_segment(docs)
+        path = str(tmp_path / "seg.npz")
+        save_segment(seg, path, compress=True)
+        monkeypatch.setattr(loader, "decompress_blocks", lambda *a, **k: None)
+        back = load_segment(path, seg.options, seg.n_docs, seg.sum_dl)
+        np.testing.assert_array_equal(back.block_docids, seg.block_docids)
+        np.testing.assert_array_equal(back.block_tfs, seg.block_tfs)
+
+    def test_compression_shrinks(self, rng, tmp_path):
+        import os
+
+        docs = make_docs(rng, 2000, vocab=10)
+        seg = build_sealed_segment(docs)
+        p1 = str(tmp_path / "c.npz")
+        p2 = str(tmp_path / "u.npz")
+        save_segment(seg, p1, compress=True)
+        save_segment(seg, p2, compress=False)
+        assert os.path.getsize(p1) < os.path.getsize(p2)
