@@ -307,14 +307,23 @@ def build_sealed_segment_from_postings(
     if presorted:
         s_keys, s_docs, s_tfs = all_keys, all_docs, all_tfs
     else:
-        if not doc_grouped:
-            pre = np.argsort(all_docs, kind="stable")
-            all_keys, all_docs, all_tfs = (
-                all_keys[pre], all_docs[pre], all_tfs[pre],
-            )
-        # Postings are now doc-grouped, so a stable sort on key alone
-        # yields (key, doc) order.
-        order = np.argsort(all_keys, kind="stable")
+        # Sorting 16-byte strings directly is memcmp-bound; reinterpret
+        # each key as two big-endian uint64 columns (numeric order ==
+        # byte-lexicographic order) and lexsort integer passes instead.
+        import sys as _sys
+
+        k2 = np.ascontiguousarray(all_keys).view(np.uint64).reshape(-1, 2)
+        if _sys.byteorder == "little":
+            hi = k2[:, 0].byteswap()
+            lo = k2[:, 1].byteswap()
+        else:
+            hi, lo = k2[:, 0], k2[:, 1]
+        if doc_grouped:
+            # Input is doc-grouped, so a stable (hi, lo) sort yields
+            # (key, doc) order.
+            order = np.lexsort((lo, hi))
+        else:
+            order = np.lexsort((all_docs, lo, hi))
         s_keys = all_keys[order]
         s_docs = all_docs[order]
         s_tfs = all_tfs[order]
