@@ -29,11 +29,14 @@ def test_hybrid_matches_exact(rng):
     queries = [
         Query.from_int_ids([0]),  # heavy: df ~ half the corpus
         Query.from_int_ids([0, 17]),  # heavy
-        Query.from_int_ids([1000]),  # light: df = 2
-        Query.from_int_ids([1000, 1001]),  # light
+        Query.from_int_ids([1000]),  # light: df = 2 -> one-shot
+        Query.from_int_ids([1000, 1001]),  # light -> one-shot
     ]
-    heavy = hybrid._route(queries)
-    assert heavy.tolist() == [True, True, False, False]
+    strategy, ranges = hybrid._route(queries)
+    # Heavy queries must take the iterative pruned path; selective ones
+    # must not (one-shot or dense, depending on corpus size).
+    assert strategy.tolist()[:2] == [2, 2]
+    assert all(s != 2 for s in strategy.tolist()[2:])
 
     s1_, i1, p1 = exact.search(queries, 15)
     s2_, i2, p2 = hybrid.search(queries, 15)

@@ -36,13 +36,6 @@ from ..utils.options import IndexOptions
 __all__ = ["ShardedIndex"]
 
 
-def _pad_to(arr: np.ndarray, n: int, fill) -> np.ndarray:
-    if arr.shape[0] == n:
-        return arr
-    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
-    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)])
-
-
 def _bucket(x: int, minimum: int = 8) -> int:
     n = max(x, minimum)
     return 1 << (n - 1).bit_length()

@@ -299,16 +299,21 @@ class BlockMaxEngine:
         queries: Sequence[Query],
         k: int,
         filter_mask: Optional[np.ndarray] = None,
+        chunk: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact top-k via block-max pruning.
 
         Same result contract as ExactEngine.search (scores desc, doc slots,
-        payloads; -inf/-1 padding).
+        payloads; -inf/-1 padding).  `chunk` overrides the per-round
+        candidate count — setting it at or above every query's total range
+        count turns the search into a single-round scan with no threshold
+        iteration (the light-query fast path).
         """
         import jax.numpy as jnp
 
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
+        chunk = self.chunk if chunk is None else chunk
         dev = self.dev
         ri = self.ranges
         q_tid, lmax = self._prepare(queries)
@@ -321,7 +326,7 @@ class BlockMaxEngine:
             fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
 
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
-        max_rounds = -(-ri.n_ranges // self.chunk) + 1
+        max_rounds = -(-ri.n_ranges // chunk) + 1
         scores, ids, rounds = _jitted_kernel()(
             self.dev_post_impact,
             self.dev_post_local,
@@ -334,7 +339,7 @@ class BlockMaxEngine:
             self.dev_token_tr_start,
             jnp.asarray(q_tid),
             k=kk,
-            chunk=min(self.chunk, ri.n_ranges),
+            chunk=min(chunk, ri.n_ranges),
             lmax=lmax,
             range_size=ri.range_size,
             n_ranges=ri.n_ranges,

@@ -1,16 +1,22 @@
-"""Hybrid engine: cost-based routing between exact and pruned search.
+"""Hybrid engine: cost-based routing between scoring strategies.
 
-The exact engine touches every posting of every query term — unbeatable
-for selective queries (small Σ df) where there is nothing to skip, and
-fully fused in one dispatch.  The Block-Max engine caps the worst case
-for heavy queries (common terms, Σ df ~ corpus size) by pruning ranges
-against the top-k threshold, at the cost of serial refinement rounds.
+Three execution strategies, one exact result contract:
 
-This router estimates each query's cost as Σ df over its terms and sends
-cheap queries to the exact engine and expensive ones to the pruned
-engine — batched separately so both run in their best regime.  The
-reference has no analog (its serial WAND adapts naturally per query);
-this is the batched-TPU equivalent of that adaptivity.
+- **one-shot** (pruned engine, single round): when a query's terms touch
+  few (term, range) groups, every candidate range is scored in one pass —
+  cost ~ total_ranges x RS, with no dense accumulator and no corpus-sized
+  top_k.  The winner for selective queries on large corpora.
+- **dense exact**: one fused gather + scatter-add over a [Q, n_docs]
+  accumulator + top_k.  Cost ~ n_docs per query regardless of selectivity
+  — the winner on small corpora where n_docs is cheap and padding waste
+  dominates other strategies.
+- **iterative pruned** (Block-Max): bound-ordered chunked rounds with a
+  rising threshold — caps the worst case for heavy common-term queries.
+
+The router estimates each query's cost under the strategies from df and
+range-count statistics and batches each group separately — the batched-TPU
+equivalent of serial WAND's per-query adaptivity (the reference processes
+one query per backend and adapts naturally; SURVEY.md §2.8).
 """
 
 from __future__ import annotations
@@ -28,12 +34,13 @@ from .exact import ExactEngine
 __all__ = ["HybridEngine"]
 
 
-class HybridEngine:
-    """Routes queries by estimated posting volume.
+def _bucket(x: int, minimum: int = 8) -> int:
+    n = max(x, minimum)
+    return 1 << (n - 1).bit_length()
 
-    route_threshold: queries whose terms' total df exceeds this fraction
-    of the corpus go to the pruned engine.
-    """
+
+class HybridEngine:
+    """Routes queries by estimated execution cost."""
 
     def __init__(
         self,
@@ -41,11 +48,11 @@ class HybridEngine:
         range_index: Optional[RangeIndex] = None,
         route_threshold: float = 0.10,
         chunk: Optional[int] = None,
+        oneshot_cap: int = 1024,
         device=None,
         use_pallas: Optional[bool] = None,
     ):
         self.segment = segment
-        self.exact = ExactEngine(segment, device=device)
         self.blockmax = BlockMaxEngine(
             segment,
             range_index,
@@ -53,26 +60,56 @@ class HybridEngine:
             device=device,
             use_pallas=use_pallas,
         )
+        self._exact: Optional[ExactEngine] = None
+        self._device = device
         self.route_threshold = route_threshold
+        # One-shot is taken when total ranges x RS is meaningfully cheaper
+        # than a dense n_docs scan (and bounded by oneshot_cap ranges).
+        rs = self.blockmax.ranges.range_size
+        self.oneshot_cap = int(
+            min(oneshot_cap, max(1, segment.n_docs // (2 * rs)))
+        )
+
+    @property
+    def exact(self) -> ExactEngine:
+        if self._exact is None:
+            self._exact = ExactEngine(self.segment, device=self._device)
+            if self._deleted is not None:
+                self._exact.set_deleted(self._deleted)
+        return self._exact
+
+    _deleted: Optional[np.ndarray] = None
 
     def set_deleted(self, deleted: np.ndarray) -> None:
-        self.exact.set_deleted(deleted)
+        self._deleted = np.asarray(deleted, dtype=bool)
         self.blockmax.set_deleted(deleted)
+        if self._exact is not None:
+            self._exact.set_deleted(deleted)
 
     def memory_report(self) -> dict:
         return self.blockmax.memory_report()
 
-    def _route(self, queries: Sequence[Query]) -> np.ndarray:
-        """True = heavy (pruned engine)."""
+    def _route(self, queries: Sequence[Query]) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (strategy [Q] in {0: one-shot, 1: dense, 2: iterative},
+        total_ranges [Q])."""
         seg = self.segment
-        budget = max(1.0, self.route_threshold * seg.n_docs)
-        heavy = np.zeros(len(queries), dtype=bool)
+        term_l = self.blockmax._term_l
+        df_budget = max(1.0, self.route_threshold * seg.n_docs)
+        strategy = np.zeros(len(queries), dtype=np.int8)
+        ranges = np.zeros(len(queries), dtype=np.int64)
         for i, query in enumerate(queries):
             ids = seg.lookup_tokens(query.keys)
             ids = ids[ids >= 0]
-            total = int(seg.token_df[ids].sum()) if ids.size else 0
-            heavy[i] = total > budget
-        return heavy
+            tr = int(term_l[ids].sum()) if ids.size else 0
+            df = int(seg.token_df[ids].sum()) if ids.size else 0
+            ranges[i] = tr
+            if tr <= self.oneshot_cap:
+                strategy[i] = 0
+            elif df <= df_budget:
+                strategy[i] = 1
+            else:
+                strategy[i] = 2
+        return strategy, ranges
 
     def search(
         self,
@@ -83,22 +120,32 @@ class HybridEngine:
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
         queries = list(queries)
-        heavy = self._route(queries)
+        strategy, ranges = self._route(queries)
         qn = len(queries)
         scores = np.full((qn, k), -np.inf, dtype=np.float32)
         ids = np.full((qn, k), -1, dtype=np.int64)
         payloads = np.full((qn, k), -1, dtype=np.int64)
 
-        light_idx = np.flatnonzero(~heavy)
-        heavy_idx = np.flatnonzero(heavy)
-        if light_idx.size:
-            s, i, p = self.exact.search(
-                [queries[j] for j in light_idx], k, filter_mask
+        def run(idx, fn):
+            if idx.size:
+                s, i, p = fn([queries[j] for j in idx])
+                scores[idx], ids[idx], payloads[idx] = s, i, p
+
+        oneshot = np.flatnonzero(strategy == 0)
+        if oneshot.size:
+            chunk = _bucket(int(max(ranges[oneshot].max(), 1)), 8)
+            run(
+                oneshot,
+                lambda qs: self.blockmax.search(
+                    qs, k, filter_mask, chunk=chunk
+                ),
             )
-            scores[light_idx], ids[light_idx], payloads[light_idx] = s, i, p
-        if heavy_idx.size:
-            s, i, p = self.blockmax.search(
-                [queries[j] for j in heavy_idx], k, filter_mask
-            )
-            scores[heavy_idx], ids[heavy_idx], payloads[heavy_idx] = s, i, p
+        run(
+            np.flatnonzero(strategy == 1),
+            lambda qs: self.exact.search(qs, k, filter_mask),
+        )
+        run(
+            np.flatnonzero(strategy == 2),
+            lambda qs: self.blockmax.search(qs, k, filter_mask),
+        )
         return scores, ids, payloads
