@@ -64,10 +64,11 @@ class HybridEngine:
         self._device = device
         self.route_threshold = route_threshold
         # One-shot is taken when total ranges x RS is meaningfully cheaper
-        # than a dense n_docs scan (and bounded by oneshot_cap ranges).
+        # than a dense n_docs scan; queries are sub-batched by range-count
+        # bucket so small queries don't pay a large query's chunk.
         rs = self.blockmax.ranges.range_size
         self.oneshot_cap = int(
-            min(oneshot_cap, max(1, segment.n_docs // (2 * rs)))
+            max(oneshot_cap, max(1, segment.n_docs // (2 * rs)))
         )
 
     @property
@@ -133,13 +134,26 @@ class HybridEngine:
 
         oneshot = np.flatnonzero(strategy == 0)
         if oneshot.size:
-            chunk = _bucket(int(max(ranges[oneshot].max(), 1)), 8)
-            run(
-                oneshot,
-                lambda qs: self.blockmax.search(
-                    qs, k, filter_mask, chunk=chunk
-                ),
-            )
+            # Sub-batch by range-count bucket (powers of 4) so a 3-range
+            # query never pays a 4096-range query's candidate chunk.
+            tr = ranges[oneshot]
+            bucket_of = np.zeros(oneshot.size, dtype=np.int64)
+            b = 8
+            while True:
+                mask_above = tr > b
+                if not np.any(mask_above):
+                    break
+                bucket_of[mask_above] += 1
+                b *= 4
+            for bu in np.unique(bucket_of):
+                group = oneshot[bucket_of == bu]
+                chunk = 8 * (4 ** int(bu))
+                run(
+                    group,
+                    lambda qs, c=chunk: self.blockmax.search(
+                        qs, k, filter_mask, chunk=c
+                    ),
+                )
         run(
             np.flatnonzero(strategy == 1),
             lambda qs: self.exact.search(qs, k, filter_mask),
