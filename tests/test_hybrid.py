@@ -33,16 +33,16 @@ def test_hybrid_matches_exact(rng):
         Query.from_int_ids([1000, 1001]),  # light -> one-shot
     ]
     strategy, ranges = hybrid._route(queries)
-    # On a tiny corpus everything one-shots (few ranges exist).
-    assert strategy.tolist() == [0, 0, 0, 0]
-    # With the one-shot cap forced down, heavy queries take the iterative
-    # pruned path and selective ones stay non-iterative.
-    hybrid_small = HybridEngine(seg, route_threshold=0.10, oneshot_cap=0)
-    strategy2, _ = hybrid_small._route(queries)
-    assert strategy2.tolist()[:2] == [2, 2]
-    assert all(s != 2 for s in strategy2.tolist()[2:])
-    s1_, i1, p1 = hybrid_small.search(queries, 15)
-    s0_, i0, p0 = hybrid._route and hybrid.search(queries, 15)
+    # Heavy queries take the iterative pruned path; selective ones don't.
+    assert strategy.tolist()[:2] == [2, 2]
+    assert all(s != 2 for s in strategy.tolist()[2:])
+    # With a forced one-shot cap, selective queries one-shot instead, and
+    # results are identical.
+    hybrid_os = HybridEngine(seg, route_threshold=0.10, oneshot_cap=64)
+    strategy2, _ = hybrid_os._route(queries)
+    assert strategy2.tolist()[2:] == [0, 0]
+    s1_, i1, p1 = hybrid_os.search(queries, 15)
+    s0_, i0, p0 = hybrid.search(queries, 15)
     np.testing.assert_array_equal(i0, i1)
 
     s1_, i1, p1 = exact.search(queries, 15)

@@ -48,7 +48,7 @@ class HybridEngine:
         range_index: Optional[RangeIndex] = None,
         route_threshold: float = 0.10,
         chunk: Optional[int] = None,
-        oneshot_cap: int = 1024,
+        oneshot_cap: Optional[int] = None,
         device=None,
         use_pallas: Optional[bool] = None,
     ):
@@ -63,13 +63,20 @@ class HybridEngine:
         self._exact: Optional[ExactEngine] = None
         self._device = device
         self.route_threshold = route_threshold
-        # One-shot is taken when total ranges x RS is meaningfully cheaper
-        # than a dense n_docs scan; queries are sub-batched by range-count
-        # bucket so small queries don't pay a large query's chunk.
+        # One-shot is taken when its gathered-lane cost (~T x ranges x RS)
+        # is clearly below a dense n_docs scan; queries are sub-batched by
+        # range-count bucket so small queries don't pay a large query's
+        # chunk.  T~4 plus dispatch overhead gives the /8 margin.
         rs = self.blockmax.ranges.range_size
-        self.oneshot_cap = int(
-            max(oneshot_cap, max(1, segment.n_docs // (2 * rs)))
-        )
+        if oneshot_cap is None:
+            # Opt-in for now: measured on topically-clustered synthetic
+            # corpora, one batched dense dispatch beats several bucketed
+            # one-shot dispatches even at millions of docs (the gathered
+            # 5 B/lane cost and dispatch fragmentation outweigh skipping
+            # the n_docs accumulator).  Truly selective workloads (rare
+            # terms, huge corpora) can enable it explicitly.
+            oneshot_cap = 0
+        self.oneshot_cap = int(max(0, oneshot_cap))
 
     @property
     def exact(self) -> ExactEngine:
