@@ -33,7 +33,6 @@ class DeviceSegment:
     doc_live: object  # [N+1] float32 (1.0 live, 0.0 deleted/pad)
     block_docids: object  # [B+1, 128] int32 (pad = N)
     block_impact: object  # [B+1, 128] float32 precomputed scores (pad = 0)
-    token_block_start: object  # [V+2] int32 CSR (null term: empty range)
 
     host: SealedSegment = None
 
@@ -64,9 +63,6 @@ class DeviceSegment:
         if b:
             bd[:b] = seg.block_docids
             bi[:b] = seg.block_impacts()
-        tbs = np.zeros(v + 2, dtype=np.int32)
-        tbs[: v + 1] = seg.token_block_start
-        tbs[v + 1] = tbs[v]  # null term (id V): empty block range
 
         def put(x):
             arr = jnp.asarray(x)
@@ -79,7 +75,6 @@ class DeviceSegment:
             doc_live=put(live),
             block_docids=put(bd),
             block_impact=put(bi),
-            token_block_start=put(tbs),
             host=seg,
         )
 

@@ -42,38 +42,22 @@ def _bucket(x: int, minimum: int = 8) -> int:
 def _jitted_score_and_topk():
     import jax
 
-    return jax.jit(
-        _score_and_topk,
-        static_argnames=("k", "n_docs", "n_blocks", "bmax"),
-    )
+    return jax.jit(_score_and_topk, static_argnames=("k", "n_docs"))
 
 
 def _score_and_topk(
     block_docids,  # [B+1, 128] int32
     block_impact,  # [B+1, 128] float32 precomputed scores (pad = 0)
     doc_live,  # [N+1] float32
-    token_block_start,  # [V+2] int32 CSR
-    q_tid,  # [Q, T] int32 (pad = V, the null term)
+    blk_ids,  # [Q, P] int32 (pad = B)
     filter_mask,  # [N+1] float32 (1 keep)
     k: int,
     n_docs: int,
-    n_blocks: int,
-    bmax: int,
 ):
     """Impact-eager scoring (BM25S-style): the per-posting score was
-    precomputed at build time, so scoring is gather + segment-sum.
-
-    The per-term block lists are expanded on device from the CSR (the
-    host ships only [Q, T] term ids — transfers stay tiny)."""
+    precomputed at build time, so scoring is gather + segment-sum."""
     import jax
     import jax.numpy as jnp
-
-    q, t = q_tid.shape
-    base = token_block_start[q_tid]  # [Q, T]
-    cnt = token_block_start[q_tid + 1] - base
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (q, t, bmax), 2)
-    blk = jnp.where(b_iota < cnt[..., None], base[..., None] + b_iota, n_blocks)
-    blk_ids = blk.reshape(q, t * bmax)  # [Q, P]
 
     d = block_docids[blk_ids]  # [Q, P, 128]
     sc = block_impact[blk_ids] * doc_live[d]
@@ -112,24 +96,30 @@ class ExactEngine:
         self.dev.set_deleted(deleted)
 
     def _prepare(self, queries: Sequence[Query]):
-        """Host prep: term ids + the per-term block-count bucket."""
+        """Host-side batch assembly: padded per-query block lists."""
         seg = self.segment
         q = len(queries)
-        counts = np.diff(seg.token_block_start)
-        t_needed, b_needed = 1, 1
-        term_ids = []
+        starts = seg.token_block_start
+        block_lists = []
         for query in queries:
             ids = seg.lookup_tokens(query.keys)
             ids = ids[ids >= 0].astype(np.int64)
-            term_ids.append(ids)
-            t_needed = max(t_needed, ids.size)
             if ids.size:
-                b_needed = max(b_needed, int(counts[ids].max()))
-        t_max = _bucket(t_needed, 4)
-        q_tid = np.full((q, t_max), seg.n_tokens, dtype=np.int32)
-        for i, ids in enumerate(term_ids):
-            q_tid[i, : ids.size] = ids
-        return q_tid, _bucket(b_needed, 8)
+                los = starts[ids].astype(np.int64)
+                his = starts[ids + 1].astype(np.int64)
+                blocks = np.concatenate(
+                    [np.arange(lo, hi, dtype=np.int64) for lo, hi in zip(los, his)]
+                )
+            else:
+                blocks = np.zeros(0, dtype=np.int64)
+            block_lists.append(blocks)
+
+        p_max = _bucket(max((x.size for x in block_lists), default=1), 8)
+        blk_ids = np.full((q, p_max), seg.n_blocks, dtype=np.int32)
+        for i, blocks in enumerate(block_lists):
+            if blocks.size:
+                blk_ids[i, : blocks.size] = blocks
+        return blk_ids
 
     def search(
         self,
@@ -163,7 +153,7 @@ class ExactEngine:
                 np.concatenate([p[2] for p in parts]),
             )
 
-        q_tid, bmax = self._prepare(queries)
+        blk_ids = self._prepare(queries)
 
         if filter_mask is not None:
             fm = np.ones(dev.n_docs + 1, dtype=np.float32)
@@ -177,13 +167,10 @@ class ExactEngine:
             dev.block_docids,
             dev.block_impact,
             dev.doc_live,
-            dev.token_block_start,
-            jnp.asarray(q_tid),
+            jnp.asarray(blk_ids),
             fm_dev,
             k=kk,
             n_docs=dev.n_docs,
-            n_blocks=dev.n_blocks,
-            bmax=bmax,
         )
         scores = np.asarray(scores)[:, :k]
         ids = np.asarray(ids, dtype=np.int64)[:, :k]
