@@ -191,13 +191,24 @@ def main():
     # Warmup (compile).
     engine.search(batches[0], args.k)
 
+    use_async = hasattr(engine, "search_async")
     best_qps = 0.0
     for _ in range(args.rounds):
         t0 = time.perf_counter()
         total = 0
-        for batch in batches:
-            engine.search(batch, args.k)
-            total += len(batch)
+        if use_async:
+            # Pipeline: dispatch every batch, then sync — host prep of
+            # batch i+1 overlaps device compute/transfer of batch i.
+            fins = []
+            for batch in batches:
+                fins.append(engine.search_async(batch, args.k))
+                total += len(batch)
+            for fin in fins:
+                fin()
+        else:
+            for batch in batches:
+                engine.search(batch, args.k)
+                total += len(batch)
         dt = time.perf_counter() - t0
         best_qps = max(best_qps, total / dt)
 

@@ -294,21 +294,15 @@ class BlockMaxEngine:
                 l_needed = max(l_needed, int(self._term_l[ids].max()))
         return q_tid, _bucket(l_needed, 8)
 
-    def search(
+    def search_async(
         self,
         queries: Sequence[Query],
         k: int,
         filter_mask: Optional[np.ndarray] = None,
         chunk: Optional[int] = None,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Exact top-k via block-max pruning.
-
-        Same result contract as ExactEngine.search (scores desc, doc slots,
-        payloads; -inf/-1 padding).  `chunk` overrides the per-round
-        candidate count — setting it at or above every query's total range
-        count turns the search into a single-round scan with no threshold
-        iteration (the light-query fast path).
-        """
+    ):
+        """Dispatch and return finalize() -> (scores, ids, payloads)
+        (JAX async dispatch; see ExactEngine.search_async)."""
         import jax.numpy as jnp
 
         if k <= 0:
@@ -347,12 +341,34 @@ class BlockMaxEngine:
             max_rounds=max_rounds,
             use_pallas=self.use_pallas,
         )
-        self.last_rounds = int(rounds)
-        scores = np.asarray(scores)[:, :k]
-        ids = np.asarray(ids, dtype=np.int64)[:, :k]
-        valid = np.isfinite(scores) & (ids < self.segment.n_docs)
-        ids = np.where(valid, ids, -1)
-        payloads = np.where(
-            valid, self.segment.doc_payload[np.maximum(ids, 0)], -1
-        )
-        return np.where(valid, scores, -np.inf), ids, payloads
+        scores_dev, ids_dev, rounds_dev = scores, ids, rounds
+
+        def finalize():
+            self.last_rounds = int(rounds_dev)
+            scores = np.asarray(scores_dev)[:, :k]
+            ids = np.asarray(ids_dev, dtype=np.int64)[:, :k]
+            valid = np.isfinite(scores) & (ids < self.segment.n_docs)
+            ids = np.where(valid, ids, -1)
+            payloads = np.where(
+                valid, self.segment.doc_payload[np.maximum(ids, 0)], -1
+            )
+            return np.where(valid, scores, -np.inf), ids, payloads
+
+        return finalize
+
+    def search(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+        chunk: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact top-k via block-max pruning.
+
+        Same result contract as ExactEngine.search (scores desc, doc slots,
+        payloads; -inf/-1 padding).  `chunk` overrides the per-round
+        candidate count — setting it at or above every query's total range
+        count turns the search into a single-round scan with no threshold
+        iteration (the light-query fast path).
+        """
+        return self.search_async(queries, k, filter_mask, chunk)()

@@ -121,6 +121,77 @@ class ExactEngine:
                 blk_ids[i, : blocks.size] = blocks
         return blk_ids
 
+    def search_async(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Dispatch a batch and return finalize() -> (scores, ids, payloads).
+
+        The jit call returns immediately (JAX async dispatch); deferring
+        the host sync to finalize() lets callers pipeline many batches —
+        host prep of batch i+1 overlaps device compute and result
+        transfer of batch i.
+        """
+        import jax.numpy as jnp
+
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        dev = self.dev
+
+        # Sub-batch so the [Q, N] accumulator fits the budget.
+        q_cap = max(1, self.accumulator_budget // (4 * (dev.n_docs + 1)))
+        if len(queries) > q_cap:
+            fins = [
+                self.search_async(list(queries)[i : i + q_cap], k, filter_mask)
+                for i in range(0, len(queries), q_cap)
+            ]
+
+            def finalize_parts():
+                parts = [f() for f in fins]
+                return (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]),
+                )
+
+            return finalize_parts
+
+        blk_ids = self._prepare(queries)
+
+        if filter_mask is not None:
+            fm = np.ones(dev.n_docs + 1, dtype=np.float32)
+            fm[: dev.n_docs] = np.asarray(filter_mask, dtype=np.float32)
+            fm_dev = jnp.asarray(fm)
+        else:
+            fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
+
+        kk = min(_bucket(k, 1), max(dev.n_docs, 1))
+        scores_dev, ids_dev = _jitted_score_and_topk()(
+            dev.block_docids,
+            dev.block_impact,
+            dev.doc_live,
+            jnp.asarray(blk_ids),
+            fm_dev,
+            k=kk,
+            n_docs=dev.n_docs,
+        )
+
+        def finalize():
+            scores = np.asarray(scores_dev)[:, :k]
+            ids = np.asarray(ids_dev, dtype=np.int64)[:, :k]
+            valid = np.isfinite(scores)
+            ids = np.where(valid, ids, -1)
+            payloads = np.where(
+                valid,
+                np.asarray(dev.host.doc_payload)[np.maximum(ids, 0)],
+                -1,
+            )
+            return scores, ids, payloads
+
+        return finalize
+
     def search(
         self,
         queries: Sequence[Query],
@@ -134,52 +205,7 @@ class ExactEngine:
         filter_mask: optional [n_docs] bool — True keeps the doc (prefilter
         semantics: applied before top-k so the threshold stays honest).
         """
-        import jax.numpy as jnp
-
-        if k <= 0:
-            raise ValueError("number of needed rows is set to 0")
-        dev = self.dev
-
-        # Sub-batch so the [Q, N] accumulator fits the budget.
-        q_cap = max(1, self.accumulator_budget // (4 * (dev.n_docs + 1)))
-        if len(queries) > q_cap:
-            parts = [
-                self.search(list(queries)[i : i + q_cap], k, filter_mask)
-                for i in range(0, len(queries), q_cap)
-            ]
-            return (
-                np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-                np.concatenate([p[2] for p in parts]),
-            )
-
-        blk_ids = self._prepare(queries)
-
-        if filter_mask is not None:
-            fm = np.ones(dev.n_docs + 1, dtype=np.float32)
-            fm[: dev.n_docs] = np.asarray(filter_mask, dtype=np.float32)
-            fm_dev = jnp.asarray(fm)
-        else:
-            fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
-
-        kk = min(_bucket(k, 1), max(dev.n_docs, 1))
-        scores, ids = _jitted_score_and_topk()(
-            dev.block_docids,
-            dev.block_impact,
-            dev.doc_live,
-            jnp.asarray(blk_ids),
-            fm_dev,
-            k=kk,
-            n_docs=dev.n_docs,
-        )
-        scores = np.asarray(scores)[:, :k]
-        ids = np.asarray(ids, dtype=np.int64)[:, :k]
-        valid = np.isfinite(scores)
-        ids = np.where(valid, ids, -1)
-        payloads = np.where(
-            valid, np.asarray(dev.host.doc_payload)[np.maximum(ids, 0)], -1
-        )
-        return scores, ids, payloads
+        return self.search_async(queries, k, filter_mask)()
 
 
 def oracle_scores(

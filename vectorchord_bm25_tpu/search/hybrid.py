@@ -119,25 +119,26 @@ class HybridEngine:
                 strategy[i] = 2
         return strategy, ranges
 
-    def search(
+    def search_async(
         self,
         queries: Sequence[Query],
         k: int,
         filter_mask: Optional[np.ndarray] = None,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ):
+        """Dispatch all strategy groups and return finalize() ->
+        (scores, ids, payloads) — groups and successive batches pipeline
+        (JAX async dispatch)."""
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
         queries = list(queries)
         strategy, ranges = self._route(queries)
         qn = len(queries)
-        scores = np.full((qn, k), -np.inf, dtype=np.float32)
-        ids = np.full((qn, k), -1, dtype=np.int64)
-        payloads = np.full((qn, k), -1, dtype=np.int64)
 
-        def run(idx, fn):
+        pending = []  # (index array, finalize fn)
+
+        def submit(idx, fn):
             if idx.size:
-                s, i, p = fn([queries[j] for j in idx])
-                scores[idx], ids[idx], payloads[idx] = s, i, p
+                pending.append((idx, fn([queries[j] for j in idx])))
 
         oneshot = np.flatnonzero(strategy == 0)
         if oneshot.size:
@@ -155,18 +156,36 @@ class HybridEngine:
             for bu in np.unique(bucket_of):
                 group = oneshot[bucket_of == bu]
                 chunk = 8 * (4 ** int(bu))
-                run(
+                submit(
                     group,
-                    lambda qs, c=chunk: self.blockmax.search(
+                    lambda qs, c=chunk: self.blockmax.search_async(
                         qs, k, filter_mask, chunk=c
                     ),
                 )
-        run(
+        submit(
             np.flatnonzero(strategy == 1),
-            lambda qs: self.exact.search(qs, k, filter_mask),
+            lambda qs: self.exact.search_async(qs, k, filter_mask),
         )
-        run(
+        submit(
             np.flatnonzero(strategy == 2),
-            lambda qs: self.blockmax.search(qs, k, filter_mask),
+            lambda qs: self.blockmax.search_async(qs, k, filter_mask),
         )
-        return scores, ids, payloads
+
+        def finalize():
+            scores = np.full((qn, k), -np.inf, dtype=np.float32)
+            ids = np.full((qn, k), -1, dtype=np.int64)
+            payloads = np.full((qn, k), -1, dtype=np.int64)
+            for idx, fin in pending:
+                s, i, p = fin()
+                scores[idx], ids[idx], payloads[idx] = s, i, p
+            return scores, ids, payloads
+
+        return finalize
+
+    def search(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.search_async(queries, k, filter_mask)()
