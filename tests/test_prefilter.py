@@ -36,6 +36,19 @@ def test_prefilter_keeps_threshold_honest(rng):
     assert len(hits_post) == 0
 
 
+def test_enable_scan_off_uses_brute_force(rng):
+    # bm25.enable_scan = off routes through the exact brute-force path;
+    # results match the index scan up to float ties.
+    docs = make_docs(rng, 80, vocab=6)
+    index = Bm25Index.build(docs)
+    q = Query.from_int_ids([0, 1])
+    on = index.search(q, k=10)
+    off = index.search(q, k=10, session=SessionConfig(enable_scan=False))
+    assert {h.payload for h in on} == {h.payload for h in off}
+    for a, b in zip(on, off):
+        assert abs(a.score - b.score) < 1e-4
+
+
 def test_session_override(rng):
     docs = make_docs(rng, 50, vocab=4)
     index = Bm25Index.build(

@@ -265,6 +265,14 @@ class Bm25Index:
             # Post-filter mode: retrieve unfiltered, filter the results.
             hits = self.search(query, k=k, filter_fn=None, session=session)
             return [h for h in hits if filter_fn(h.payload)]
+        if not sess.enable_scan:
+            # bm25.enable_scan = off: bypass the index scan and use the
+            # brute-force path (the reference's planner then orders a
+            # seqscan by the <&> operator, src/index/bm25/am/mod.rs:209-258).
+            if k <= 0 and k != -1:
+                raise ValueError("number of needed rows is set to 0")
+            hits = self.search_all(query, filter_fn)
+            return hits if k == -1 else hits[:k]
         if k == -1:
             # 0.2.x bm25_catalog.bm25_limit = -1: brute force, return every
             # document with score > 0 (README.md:462-466).
