@@ -304,6 +304,11 @@ def build_sealed_segment_from_postings(
         seg.doc_payload = payloads
         return seg
 
+    if total >= 2**31:
+        raise ValueError(
+            "corpus exceeds int32 posting addressing (2^31 postings); "
+            "shard the corpus across devices"
+        )
     if presorted:
         s_keys, s_docs, s_tfs = all_keys, all_docs, all_tfs
     else:
@@ -318,9 +323,12 @@ def build_sealed_segment_from_postings(
             lo = k2[:, 1].byteswap()
         else:
             hi, lo = k2[:, 0], k2[:, 1]
-        if doc_grouped:
-            # Input is doc-grouped, so a stable (hi, lo) sort yields
-            # (key, doc) order.
+        # doc_grouped actually requires globally ASCENDING doc ids (the
+        # stable key sort then yields (key, doc) order); fall back to the
+        # full lexsort when the input violates that.
+        if doc_grouped and (
+            all_docs.size < 2 or bool(np.all(all_docs[:-1] <= all_docs[1:]))
+        ):
             order = np.lexsort((lo, hi))
         else:
             order = np.lexsort((all_docs, lo, hi))

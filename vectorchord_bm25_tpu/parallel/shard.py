@@ -36,9 +36,7 @@ from ..utils.options import IndexOptions
 __all__ = ["ShardedIndex"]
 
 
-def _bucket(x: int, minimum: int = 8) -> int:
-    n = max(x, minimum)
-    return 1 << (n - 1).bit_length()
+from ..utils.buckets import bucket_pow2 as _bucket
 
 
 @dataclass

@@ -40,9 +40,7 @@ __all__ = ["BlockMaxEngine"]
 _INT_MAX = np.int32(np.iinfo(np.int32).max)
 
 
-def _bucket(x: int, minimum: int = 8) -> int:
-    n = max(x, minimum)
-    return 1 << (n - 1).bit_length()
+from ..utils.buckets import bucket_pow2 as _bucket
 
 
 def _blockmax_kernel(
@@ -95,6 +93,11 @@ def _blockmax_kernel(
         return acc.at[ranges_q].add(ub_q)
 
     ub_work = jax.vmap(scatter_ub)(safe_r, flat_u)[:, :n_ranges]  # [Q, R]
+    # Conservative float safety: the per-term bound pad (~1e-6 relative,
+    # ranges.py) covers small term counts; scale the summed bound by the
+    # worst-case float32 error of a T-term accumulation so pruning stays
+    # provably safe for wide queries too.
+    ub_work = ub_work * np.float32(1.0 + (t + 2) * 1.2e-7)
 
     topk_s0 = jnp.full((q, k), -jnp.inf, dtype=jnp.float32)
     topk_d0 = jnp.full((q, k), _INT_MAX, dtype=jnp.int32)
@@ -177,13 +180,12 @@ def _blockmax_kernel(
         flat_s = jnp.where(ok, flat_s, -jnp.inf)
         flat_d = jnp.where(ok, flat_d, _INT_MAX)
 
-        # Reduce the round's candidates to k first (top_k breaks ties by
-        # lower index = lower doc id within the round), then merge the two
-        # sorted k-lists with one tiny lexicographic sort.
-        r_s, r_idx = jax.lax.top_k(flat_s, k)  # [Q, k]
-        r_d = jnp.take_along_axis(flat_d, r_idx, axis=1)
-        all_s = jnp.concatenate([topk_s, r_s], axis=1)  # [Q, 2k]
-        all_d = jnp.concatenate([topk_d, r_d], axis=1)
+        # Merge with the running top-k via a lexicographic (-score, doc)
+        # sort — candidates arrive in upper-bound order, not doc order, so
+        # a tie-unaware top_k here would break the pinned
+        # (score desc, doc asc) rule at the k boundary.
+        all_s = jnp.concatenate([topk_s, flat_s], axis=1)
+        all_d = jnp.concatenate([topk_d, flat_d], axis=1)
         neg, d_sorted = jax.lax.sort((-all_s, all_d), num_keys=2)
         return ub_next, -neg[:, :k], d_sorted[:, :k], rounds + 1
 
@@ -217,9 +219,14 @@ class BlockMaxEngine:
         device=None,
         use_pallas: Optional[bool] = None,
     ):
+        import jax
         import jax.numpy as jnp
 
         from ..ops.score_kernel import pallas_available
+
+        def put(x):
+            arr = jnp.asarray(x)
+            return jax.device_put(arr, device) if device is not None else arr
 
         self.segment = segment
         self.ranges = range_index or build_range_index(segment)
@@ -239,23 +246,28 @@ class BlockMaxEngine:
 
         ri = self.ranges
         v = segment.n_tokens
+        if ri.post_impact.size >= 2**31 or ri.token_tr_start[-1] >= 2**31:
+            raise ValueError(
+                "index exceeds int32 posting/group addressing (2^31); "
+                "shard the corpus across devices"
+            )
         # CSR with null-term entry (token id V: empty window) + pad slot M.
         tts = np.zeros(v + 2, dtype=np.int32)
         tts[: v + 1] = ri.token_tr_start
         tts[v + 1] = tts[v]
-        self.dev_post_impact = jnp.asarray(ri.post_impact)
-        self.dev_post_local = jnp.asarray(ri.post_local)
-        self.dev_tr_range = jnp.asarray(
+        self.dev_post_impact = put(ri.post_impact)
+        self.dev_post_local = put(ri.post_local)
+        self.dev_tr_range = put(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
         )
-        self.dev_tr_start = jnp.asarray(
+        self.dev_tr_start = put(
             np.append(ri.tr_start, 0).astype(np.int32)
         )
-        self.dev_tr_len = jnp.asarray(np.append(ri.tr_len, 0).astype(np.int32))
-        self.dev_tr_ub = jnp.asarray(
+        self.dev_tr_len = put(np.append(ri.tr_len, 0).astype(np.int32))
+        self.dev_tr_ub = put(
             np.append(ri.tr_ub, 0.0).astype(np.float32)
         )
-        self.dev_token_tr_start = jnp.asarray(tts)
+        self.dev_token_tr_start = put(tts)
         # Per-term L (for the lmax bucket).
         self._term_l = np.diff(ri.token_tr_start)
 
@@ -263,18 +275,26 @@ class BlockMaxEngine:
         self.dev.set_deleted(deleted)
 
     def memory_report(self) -> dict:
-        """Device-resident index bytes (the equal-index-memory metric)."""
-        seg = self.segment
-        doc_tables = 2 * 4 * (seg.n_docs + 1)  # fieldnorm + live (f32/i32)
-        token_tables = 4 * (seg.n_tokens + 1) + 4 * (seg.n_tokens + 2)
-        postings = self.ranges.memory_bytes(compact=True)
+        """Device-resident index bytes (the equal-index-memory metric).
+
+        Counts exactly what this engine uploads: the impact/local posting
+        streams, the per-(term, range) metadata (+ pad slots), the int32
+        CSR, and the doc-live mask."""
+        ri = self.ranges
+        doc_tables = 4 * (self.segment.n_docs + 1)  # doc_live f32
+        m1 = ri.tr_range.size + 1  # + pad slot
+        range_meta = (4 + 4 + 4 + 4) * m1  # tr_range/start/len/ub int32/f32
+        csr = 4 * (self.segment.n_tokens + 2)
+        postings = ri.post_impact.nbytes + ri.post_local.nbytes
+        total = postings + range_meta + csr + doc_tables
         return {
-            "postings_and_range_meta": postings,
+            "postings": postings,
+            "range_meta": range_meta,
+            "token_csr": csr,
             "doc_tables": doc_tables,
-            "token_tables": token_tables,
-            "total": postings + doc_tables + token_tables,
-            "bytes_per_posting": postings
-            / max(1, self.ranges.post_local.size - self.ranges.range_size),
+            "total": total,
+            "bytes_per_posting": (postings + range_meta)
+            / max(1, ri.post_local.size - ri.range_size),
         }
 
     def _prepare(self, queries: Sequence[Query]):
@@ -347,7 +367,14 @@ class BlockMaxEngine:
             self.last_rounds = int(rounds_dev)
             scores = np.asarray(scores_dev)[:, :k]
             ids = np.asarray(ids_dev, dtype=np.int64)[:, :k]
-            valid = np.isfinite(scores) & (ids < self.segment.n_docs)
+            if scores.shape[1] < k:
+                # Fewer doc slots than k: pad back to the [Q, k] contract.
+                pad = k - scores.shape[1]
+                scores = np.pad(
+                    scores, ((0, 0), (0, pad)), constant_values=-np.inf
+                )
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            valid = np.isfinite(scores) & (ids < self.segment.n_docs) & (ids >= 0)
             ids = np.where(valid, ids, -1)
             payloads = np.where(
                 valid, self.segment.doc_payload[np.maximum(ids, 0)], -1

@@ -32,10 +32,7 @@ from .device import DeviceSegment
 __all__ = ["ExactEngine", "oracle_scores", "oracle_topk"]
 
 
-def _bucket(x: int, minimum: int = 8) -> int:
-    """Round up to a power of two (bounds jit cache size)."""
-    n = max(x, minimum)
-    return 1 << (n - 1).bit_length()
+from ..utils.buckets import bucket_pow2 as _bucket
 
 
 @functools.lru_cache(maxsize=1)
@@ -181,6 +178,13 @@ class ExactEngine:
         def finalize():
             scores = np.asarray(scores_dev)[:, :k]
             ids = np.asarray(ids_dev, dtype=np.int64)[:, :k]
+            if scores.shape[1] < k:
+                # Fewer doc slots than k: pad back to the [Q, k] contract.
+                pad = k - scores.shape[1]
+                scores = np.pad(
+                    scores, ((0, 0), (0, pad)), constant_values=-np.inf
+                )
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
             valid = np.isfinite(scores)
             ids = np.where(valid, ids, -1)
             payloads = np.where(

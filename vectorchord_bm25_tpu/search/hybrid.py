@@ -34,9 +34,7 @@ from .exact import ExactEngine
 __all__ = ["HybridEngine"]
 
 
-def _bucket(x: int, minimum: int = 8) -> int:
-    n = max(x, minimum)
-    return 1 << (n - 1).bit_length()
+from ..utils.buckets import bucket_pow2 as _bucket
 
 
 class HybridEngine:
