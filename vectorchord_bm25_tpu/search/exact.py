@@ -220,9 +220,8 @@ def oracle_scores(
 ) -> np.ndarray:
     """Dense per-doc BM25 scores, computed on host (float oracle).
 
-    With dtype=float32 and the same operation shapes as the device engine,
-    this matches the engine bit-for-bit; float64 gives the reference's host
-    precision for tolerance checks.
+    float64 gives the reference's host precision; float32 approximates the
+    device engine (which gathers build-time float32 impacts) to ~1 ulp.
     """
     tables = segment.score_tables()
     ids = segment.lookup_tokens(query.keys)
