@@ -99,7 +99,9 @@ class SealedSegment:
         """Per-token s0 = idf * (k1 + 1) (float64 [V])."""
         return idf(self.n_docs, self.token_df) * (self.options.k1 + 1.0)
 
-    def block_impacts(self, dtype=np.float32) -> np.ndarray:
+    def block_impacts(
+        self, dtype=np.float32, global_stats=None
+    ) -> np.ndarray:
         """Precomputed per-posting scores [B, 128] (eager/impact scoring).
 
         BM25 ignores query-side term frequency, so a posting's full score
@@ -107,9 +109,19 @@ class SealedSegment:
         time (the BM25S observation).  Query scoring reduces to gather +
         segment-sum; computed in float64 and rounded once to `dtype`.
         Padding slots score 0.
+
+        global_stats: optional (n_docs_total, sum_dl_total, token_s0 [V])
+        so doc-sharded segments bake in global idf/avgdl.
         """
-        tables = self.score_tables()
-        s0 = self.token_s0()
+        if global_stats is not None:
+            n_total, sum_dl_total, s0 = global_stats
+            tables = ScoreTables.create(
+                self.options.k1, self.options.b, n_total, sum_dl_total
+            )
+            s0 = np.asarray(s0, dtype=np.float64)
+        else:
+            tables = self.score_tables()
+            s0 = self.token_s0()
         block_token = np.repeat(
             np.arange(self.n_tokens, dtype=np.int64),
             np.diff(self.token_block_start),

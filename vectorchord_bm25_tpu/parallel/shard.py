@@ -160,7 +160,7 @@ class ShardedIndex:
         doc_fn = np.zeros((d, nmax + 1), dtype=np.int32)
         doc_live = np.zeros((d, nmax + 1), dtype=np.float32)
         blk_docs = np.zeros((d, bmax + 1, BLOCK), dtype=np.int32)
-        blk_tfs = np.zeros((d, bmax + 1, BLOCK), dtype=np.int32)
+        blk_impact = np.zeros((d, bmax + 1, BLOCK), dtype=np.float32)
         doc_offsets = np.zeros((d, 1), dtype=np.int32)
         n_local = np.zeros((d, 1), dtype=np.int32)
 
@@ -174,7 +174,12 @@ class ShardedIndex:
             blk_docs[i, :b] = np.where(
                 s.block_docids < n, s.block_docids, nmax
             )
-            blk_tfs[i, :b] = s.block_tfs
+            if b:
+                # Impacts bake in GLOBAL statistics (idf over all shards).
+                gid = np.searchsorted(self.token_keys, s.token_keys)
+                blk_impact[i, :b] = s.block_impacts(
+                    global_stats=(self.n_docs, self.sum_dl, self.token_s0[gid])
+                )
             doc_offsets[i, 0] = view.doc_offset
             n_local[i, 0] = n
 
@@ -194,7 +199,7 @@ class ShardedIndex:
         self.dev_doc_fn = shard_put(doc_fn)
         self.dev_doc_live = shard_put(doc_live)
         self.dev_blk_docs = shard_put(blk_docs)
-        self.dev_blk_tfs = shard_put(blk_tfs)
+        self.dev_blk_impact = shard_put(blk_impact)
         self.dev_doc_offsets = shard_put(doc_offsets)
         self.dev_n_local = shard_put(n_local)
         self.dev_s1 = jax.device_put(
@@ -400,52 +405,37 @@ class ShardedIndex:
             else:
                 gids.append(np.zeros(0, dtype=np.int64))
 
-        t_max = _bucket(max((g.size for g in gids), default=1), 4)
-        q_s0 = np.zeros((q, t_max), dtype=np.float32)
-        for i, g in enumerate(gids):
-            if g.size:
-                q_s0[i, : g.size] = self.token_s0[g].astype(np.float32)
-
-        # Per-shard block lists referencing each shard's local blocks.
+        # Per-shard block lists referencing each shard's local blocks
+        # (impact-eager scoring: no per-term tables needed).
         per_shard_blocks = []
-        per_shard_slots = []
         p_needed = 1
         for view in self.views:
             s = view.segment
             starts = s.token_block_start
             blocks_q = []
-            slots_q = []
             for g in gids:
                 lids = view.local_tid[g] if g.size else np.zeros(0, dtype=np.int64)
-                present = lids >= 0
-                slots_present = np.flatnonzero(present)
-                lids = lids[present]
+                lids = lids[lids >= 0]
                 if lids.size:
                     los = starts[lids].astype(np.int64)
                     his = starts[lids + 1].astype(np.int64)
                     blocks = np.concatenate(
                         [np.arange(lo, hi) for lo, hi in zip(los, his)]
                     )
-                    slots = np.repeat(slots_present, his - los)
                 else:
                     blocks = np.zeros(0, dtype=np.int64)
-                    slots = np.zeros(0, dtype=np.int64)
                 blocks_q.append(blocks)
-                slots_q.append(slots)
                 p_needed = max(p_needed, blocks.size)
             per_shard_blocks.append(blocks_q)
-            per_shard_slots.append(slots_q)
 
         p_max = _bucket(p_needed, 8)
         blk_ids = np.full((self.n_shards, q, p_max), self._bmax, dtype=np.int32)
-        blk_slot = np.zeros((self.n_shards, q, p_max), dtype=np.int32)
         for si in range(self.n_shards):
             for qi in range(q):
                 blocks = per_shard_blocks[si][qi]
                 if blocks.size:
                     blk_ids[si, qi, : blocks.size] = blocks
-                    blk_slot[si, qi, : blocks.size] = per_shard_slots[si][qi]
-        return q_s0, blk_ids, blk_slot
+        return blk_ids
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=8)
@@ -460,26 +450,15 @@ class ShardedIndex:
 
         def local_and_merge(
             blk_docs,  # [1, Bm+1, 128]
-            blk_tfs,
-            doc_fn,  # [1, Nm+1]
-            doc_live,
+            blk_impact,  # [1, Bm+1, 128] global-stats impacts
+            doc_live,  # [1, Nm+1]
             doc_offset,  # [1, 1]
             blk_ids_s,  # [1, Q, P] per-shard local block ids
-            blk_slot_s,  # [1, Q, P]
-            q_s0,  # [Q, T] replicated
-            s1_table,  # [256] replicated
         ):
             blk_ids = blk_ids_s[0]
-            blk_slot = blk_slot_s[0]
             bd = blk_docs[0]
-            bt = blk_tfs[0]
             d = bd[blk_ids]  # [Q, P, 128]
-            t = bt[blk_ids].astype(jnp.float32)
-            fn = doc_fn[0][d]
-            s1 = s1_table[fn]
-            s0 = jnp.take_along_axis(q_s0, blk_slot, axis=1)[..., None]
-            sc = jnp.where(t > 0.0, (t * s0) / (t + s1), 0.0)
-            sc = sc * doc_live[0][d]
+            sc = blk_impact[0][blk_ids] * doc_live[0][d]
 
             def accumulate(docs_q, scores_q):
                 acc = jnp.zeros(nmax + 1, dtype=jnp.float32)
@@ -516,10 +495,7 @@ class ShardedIndex:
         fn = shard_map(
             local_and_merge,
             mesh=self.mesh,
-            in_specs=(
-                P(axis), P(axis), P(axis), P(axis), P(axis),
-                P(axis), P(axis), P(), P(),
-            ),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -537,18 +513,14 @@ class ShardedIndex:
         if self.engine == "blockmax":
             scores, gids = self._search_blockmax(queries, k)
         else:
-            q_s0, blk_ids, blk_slot = self._prepare(queries)
+            blk_ids = self._prepare(queries)
             kk = _bucket(k, 1)
             scores, gids = self._sharded_search_fn(kk)(
                 self.dev_blk_docs,
-                self.dev_blk_tfs,
-                self.dev_doc_fn,
+                self.dev_blk_impact,
                 self.dev_doc_live,
                 self.dev_doc_offsets,
                 jnp.asarray(blk_ids),
-                jnp.asarray(blk_slot),
-                jnp.asarray(q_s0),
-                self.dev_s1,
             )
         scores = np.asarray(scores)[:, :k]
         gids = np.asarray(gids, dtype=np.int64)[:, :k]
