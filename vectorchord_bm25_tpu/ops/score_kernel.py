@@ -122,7 +122,7 @@ def fused_range_scores(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, rs), 3)
     idx = st[..., None] + lane
     valid = lane < ln[..., None]
-    imp = jnp.where(valid, post_impact[idx], 0.0)
+    imp = jnp.where(valid, post_impact[idx].astype(jnp.float32), 0.0)
     loc = post_local[idx].astype(jnp.int32)
     imp_windows = imp.reshape(rows, t_terms * rs)
     loc_windows = loc.reshape(rows, t_terms * rs)

@@ -159,7 +159,7 @@ def _blockmax_kernel(
             # scoring: no table lookups or divisions at query time).
             gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
             valid = rs_iota < length[..., None]
-            sc = jnp.where(valid, post_impact[gidx], 0.0)
+            sc = jnp.where(valid, post_impact[gidx].astype(jnp.float32), 0.0)
             local = post_local[gidx].astype(jnp.int32)
             qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
@@ -218,16 +218,18 @@ class BlockMaxEngine:
         chunk: Optional[int] = None,
         device=None,
         use_pallas: Optional[bool] = None,
+        impact_dtype: str = "float32",
     ):
         import jax
         import jax.numpy as jnp
 
         from ..ops.score_kernel import pallas_available
 
-        def put(x):
-            arr = jnp.asarray(x)
+        def put(x, dtype=None):
+            arr = jnp.asarray(x, dtype=dtype)
             return jax.device_put(arr, device) if device is not None else arr
 
+        self.impact_dtype = impact_dtype
         self.segment = segment
         self.ranges = range_index or build_range_index(segment)
         if chunk is None:
@@ -255,7 +257,8 @@ class BlockMaxEngine:
         tts = np.zeros(v + 2, dtype=np.int32)
         tts[: v + 1] = ri.token_tr_start
         tts[v + 1] = tts[v]
-        self.dev_post_impact = put(ri.post_impact)
+        imp_dt = jnp.bfloat16 if impact_dtype == "bfloat16" else jnp.float32
+        self.dev_post_impact = put(ri.post_impact, imp_dt)
         self.dev_post_local = put(ri.post_local)
         self.dev_tr_range = put(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
@@ -264,9 +267,12 @@ class BlockMaxEngine:
             np.append(ri.tr_start, 0).astype(np.int32)
         )
         self.dev_tr_len = put(np.append(ri.tr_len, 0).astype(np.int32))
-        self.dev_tr_ub = put(
-            np.append(ri.tr_ub, 0.0).astype(np.float32)
-        )
+        ub = np.append(ri.tr_ub, 0.0).astype(np.float32)
+        if impact_dtype == "bfloat16":
+            # bf16 round-to-nearest can raise a posting's stored impact by
+            # up to 2^-8 relative; pruning bounds must cover that.
+            ub = ub * np.float32(1.0 + 2.0**-7)
+        self.dev_tr_ub = put(ub)
         self.dev_token_tr_start = put(tts)
         # Per-term L (for the lmax bucket).
         self._term_l = np.diff(ri.token_tr_start)

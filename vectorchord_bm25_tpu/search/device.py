@@ -43,9 +43,12 @@ class DeviceSegment:
         deleted: Optional[np.ndarray] = None,
         device=None,
         with_blocks: bool = True,
+        impact_dtype: str = "float32",
     ) -> "DeviceSegment":
         """with_blocks=False skips uploading the [B, 128] block arrays
-        (the pruned engine reads the compact flat postings instead)."""
+        (the pruned engine reads the compact flat postings instead).
+        impact_dtype="bfloat16" halves impact memory at ~0.4% relative
+        score rounding (rank ties may reorder)."""
         import jax
         import jax.numpy as jnp
 
@@ -64,17 +67,18 @@ class DeviceSegment:
             bd[:b] = seg.block_docids
             bi[:b] = seg.block_impacts()
 
-        def put(x):
-            arr = jnp.asarray(x)
+        def put(x, dtype=None):
+            arr = jnp.asarray(x, dtype=dtype)
             return jax.device_put(arr, device) if device is not None else arr
 
+        imp_dt = jnp.bfloat16 if impact_dtype == "bfloat16" else jnp.float32
         return cls(
             n_docs=n,
             n_tokens=v,
             n_blocks=b,
             doc_live=put(live),
             block_docids=put(bd),
-            block_impact=put(bi),
+            block_impact=put(bi, imp_dt),
             host=seg,
         )
 

@@ -57,7 +57,7 @@ def _score_and_topk(
     import jax.numpy as jnp
 
     d = block_docids[blk_ids]  # [Q, P, 128]
-    sc = block_impact[blk_ids] * doc_live[d]
+    sc = block_impact[blk_ids].astype(jnp.float32) * doc_live[d]
 
     def accumulate(docs_q, scores_q):
         acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
@@ -84,9 +84,12 @@ class ExactEngine:
         segment: SealedSegment,
         device=None,
         accumulator_budget: int = 1 << 30,
+        impact_dtype: str = "float32",
     ):
         self.segment = segment
-        self.dev = DeviceSegment.from_sealed(segment, device=device)
+        self.dev = DeviceSegment.from_sealed(
+            segment, device=device, impact_dtype=impact_dtype
+        )
         self.accumulator_budget = accumulator_budget
 
     def set_deleted(self, deleted: np.ndarray) -> None:
