@@ -87,6 +87,17 @@ class TestTsvector:
         v = tsvector(" ".join(["word"] * 300))
         assert v["word"] == 256
 
+    def test_email_url_version_kept_whole(self):
+        # PostgreSQL's email/url/version token classes stay single lexemes.
+        v = tsvector("mail me at bob@example.com about v1.2.3 or www.foo.org/docs")
+        assert v["bob@example.com"] == 1
+        assert v["1.2.3"] == 1
+        assert any(k.startswith("www.foo.org") for k in v)
+
+    def test_file_path_kept_whole(self):
+        v = tsvector("see /usr/local/bin/tool for details")
+        assert v["/usr/local/bin/tool"] == 1
+
 
 class TestToyCorpusAnchor:
     def test_readme_ranking(self):

@@ -36,27 +36,52 @@ STOPWORDS = frozenset(
     """.split()
 )
 
-# Default-parser word segmentation: hyphenated compounds of letter-words
-# (asciihword), plain words (letters, may include digits -> numword).
-_HWORD = re.compile(r"[A-Za-z]+(?:-[A-Za-z]+)+")
-_WORD = re.compile(r"[A-Za-z0-9]+")
+# Default-parser word segmentation, covering PostgreSQL's common token
+# classes: email, url/host, file paths, numbers with version punctuation,
+# hyphenated compounds (asciihword, whole + parts), and plain words
+# (letters, may include digits -> numword).
 _HAS_DIGIT = re.compile(r"[0-9]")
+_SPECIAL = re.compile(
+    r"""
+    (?P<email>[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})
+  | (?P<url>(?:https?://|www\.)[^\s<>"']+)
+  | (?P<path>/(?:[A-Za-z0-9_.-]+/)+[A-Za-z0-9_.-]*)
+  | (?P<version>[0-9]+(?:\.[0-9]+){1,})
+    """,
+    re.VERBOSE,
+)
+_WORDS = re.compile(r"[A-Za-z0-9]+(?:-[A-Za-z0-9]+)*")
 
 
 def _segment(text: str) -> List[str]:
-    """Emit tokens in position order; a hyphenated compound emits the whole
-    followed by its parts (PostgreSQL default parser behavior:
-    to_tsvector('english','quick-brown fox') = 'quick-brown':1 'quick':2
-    'brown':3 'fox':4)."""
+    """Emit tokens in position order.
+
+    A hyphenated compound emits the whole followed by its parts
+    (PostgreSQL default parser: to_tsvector('english','quick-brown fox') =
+    'quick-brown':1 'quick':2 'brown':3 'fox':4); emails, urls, file
+    paths, and dotted version numbers are kept as single lexemes like
+    PostgreSQL's email/url/file/version token classes.
+    """
     out: List[str] = []
-    pos = 0
-    for m in re.finditer(r"[A-Za-z0-9]+(?:-[A-Za-z0-9]+)*", text):
-        tok = m.group(0)
-        if "-" in tok:
-            out.append(tok)
-            out.extend(tok.split("-"))
-        else:
-            out.append(tok)
+    spans: List[tuple] = []
+    for m in _SPECIAL.finditer(text):
+        spans.append((m.start(), m.end(), m.group(0)))
+
+    def emit_words(chunk: str):
+        for m in _WORDS.finditer(chunk):
+            tok = m.group(0)
+            if "-" in tok:
+                out.append(tok)
+                out.extend(tok.split("-"))
+            else:
+                out.append(tok)
+
+    last = 0
+    for start, end, tok in spans:
+        emit_words(text[last:start])
+        out.append(tok.rstrip(".,;:!?"))
+        last = end
+    emit_words(text[last:])
     return out
 
 
@@ -65,8 +90,8 @@ def _normalize(token: str) -> str | None:
     low = token.lower()
     if low in STOPWORDS:
         return None
-    if _HAS_DIGIT.search(low):
-        return low  # numword behavior: kept verbatim
+    if _HAS_DIGIT.search(low) or "@" in low or "/" in low or "." in low:
+        return low  # numword/email/url/path behavior: kept verbatim
     # Hyphenated compounds are stemmed whole, like PostgreSQL
     # ('object-relational' -> 'object-relat'): snowball suffix-strips the
     # string tail, hyphens just read as consonants.
