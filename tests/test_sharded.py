@@ -112,6 +112,40 @@ class TestShardedIndex:
             got = [int(x) for x in payloads[0] if x >= 0]
             assert got == [8, 9, 4, 1, 7, 2], engine
 
+    def test_larger_corpus_parity(self, rng, mesh8):
+        # Moderately larger sharded corpus: both engines match the
+        # single-segment exact engine on a 5k-doc corpus.
+        docs = make_docs(rng, 5000, vocab=200)
+        single = ExactEngine(build_sealed_segment(docs))
+        queries = [
+            Query.from_int_ids(rng.integers(0, 200, size=4).tolist())
+            for _ in range(4)
+        ]
+        e_scores, e_ids, _ = single.search(queries, 10)
+        for engine in ("exact", "blockmax"):
+            sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine=engine)
+            s_scores, s_ids, _ = sharded.search(queries, 10)
+            for qi in range(len(queries)):
+                got = s_ids[qi][s_ids[qi] >= 0]
+                expect = e_ids[qi][e_ids[qi] >= 0]
+                assert len(got) == len(expect), (engine, qi)
+                rank_match(
+                    got, expect,
+                    s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
+                )
+
+    def test_set_deleted(self, rng, mesh8):
+        docs = make_docs(rng, 80, vocab=6)
+        for engine in ("exact", "blockmax"):
+            sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine=engine)
+            deleted = np.zeros(80, dtype=bool)
+            deleted[:40] = True
+            sharded.set_deleted(deleted)
+            _, gids, _ = sharded.search([Query.from_int_ids([0, 1])], 30)
+            valid = gids[0][gids[0] >= 0]
+            assert valid.size > 0
+            assert np.all(valid >= 40), engine
+
     def test_global_stats_step(self, rng, mesh8):
         docs = make_docs(rng, 100, vocab=10)
         sharded = ShardedIndex.build(docs, 8, mesh=mesh8)

@@ -207,6 +207,26 @@ class ShardedIndex:
         )  # replicated
 
     # ------------------------------------------------------------------
+    def set_deleted(self, deleted: np.ndarray) -> None:
+        """Refresh the live mask from a global-doc-id delete bitmap (the
+        bulkdelete analog for the sharded index; consulted at scoring)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        deleted = np.asarray(deleted, dtype=bool)
+        if deleted.shape != (self.n_docs,):
+            raise ValueError("bitmap must cover all global doc ids")
+        d = self.n_shards
+        live = np.zeros((d, self._nmax + 1), dtype=np.float32)
+        for i, view in enumerate(self.views):
+            n = view.segment.n_docs
+            off = view.doc_offset
+            live[i, :n] = np.where(deleted[off : off + n], 0.0, 1.0)
+        self.dev_doc_live = jax.device_put(
+            live, NamedSharding(self.mesh, P(self.axis, None))
+        )
+
+    # ------------------------------------------------------------------
     def _upload_blockmax(self):
         """Stack per-shard range indexes (padded) for the pruned engine."""
         import jax
