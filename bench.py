@@ -159,8 +159,12 @@ def main():
     parser.add_argument(
         "--engine", choices=["exact", "blockmax", "hybrid"], default="hybrid"
     )
-    parser.add_argument("--chunk", type=int, default=64)
+    parser.add_argument("--chunk", type=int, default=None)
     args = parser.parse_args()
+
+    from vectorchord_bm25_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from vectorchord_bm25_tpu.index.sealed import (
         build_sealed_segment_from_postings,
