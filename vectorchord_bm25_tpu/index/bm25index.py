@@ -42,6 +42,26 @@ from .sealed import SealedSegment, build_sealed_segment
 __all__ = ["Bm25Index", "BoundQuery", "SearchHit"]
 
 
+def _eval_predicate(predicate, payloads: np.ndarray) -> np.ndarray:
+    """Evaluate a payload predicate over an int64 array, preferring one
+    vectorized numpy call; scalar-only predicates (anything that raises or
+    returns a non-conforming result on the array) fall back to a fromiter
+    sweep."""
+    if payloads.size == 0:
+        return np.zeros(0, dtype=bool)
+    try:
+        result = np.asarray(predicate(payloads))
+        if result.shape == payloads.shape and result.dtype == np.bool_:
+            return result
+    except Exception:
+        pass
+    return np.fromiter(
+        (bool(predicate(int(p))) for p in payloads),
+        dtype=bool,
+        count=payloads.size,
+    )
+
+
 class BoundQuery:
     """A query bound to a specific index (the `to_bm25query(vec, index)`
     analog).  Searching a different index with it errors, mirroring the
@@ -177,19 +197,39 @@ class Bm25Index:
 
     def bulkdelete(self, predicate: Callable[[int], bool]) -> int:
         """Mark docs whose payload matches; returns count marked
-        (bulkdelete.rs: flips deleted bits in both segments)."""
+        (bulkdelete.rs: flips deleted bits in both segments).
+
+        Vectorized: the predicate is first applied to the whole payload
+        array (numpy-broadcastable predicates run in one pass); scalar-only
+        predicates fall back to a single fromiter sweep.  Unlike the
+        reference's per-page walk (bulkdelete.rs:79-111) this touches no
+        per-doc Python objects.
+        """
         with self._rw.read(), self._mutex:
-            count = 0
-            for slot in range(self.sealed.n_docs):
-                if not self.deleted[slot] and predicate(
-                    int(self.sealed.doc_payload[slot])
-                ):
-                    self.deleted[slot] = True
-                    count += 1
-            if count:
-                self._engine_deleted_dirty = True
-            count += self.growing.bulkdelete(predicate)
+            mask = _eval_predicate(predicate, self.sealed.doc_payload)
+            return self._apply_delete_mask(mask) + self.growing.bulkdelete(
+                predicate
+            )
+
+    def bulkdelete_payloads(self, payloads) -> int:
+        """Delete by explicit payload set (np.isin fast path)."""
+        targets = np.asarray(list(payloads) if not isinstance(payloads, np.ndarray) else payloads, dtype=np.int64)
+        with self._rw.read(), self._mutex:
+            mask = np.isin(self.sealed.doc_payload, targets)
+            count = self._apply_delete_mask(mask)
+            g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
+            g_mask = np.isin(g_payloads, targets)
+            count += self.growing.apply_delete_mask(g_mask)
             return count
+
+    def _apply_delete_mask(self, mask: np.ndarray) -> int:
+        """Flip sealed delete bits for live docs under `mask`; returns count."""
+        newly = mask & ~self.deleted
+        count = int(newly.sum())
+        if count:
+            self.deleted |= newly
+            self._engine_deleted_dirty = True
+        return count
 
     def maintain(self, progress=None) -> None:
         """Merge/compaction (maintain.rs): relabel live docs — sealed slot
@@ -201,37 +241,100 @@ class Bm25Index:
             self._maintain_locked(progress)
 
     def _maintain_locked(self, progress=None) -> None:
-        docs: List[Document] = []
-        payloads: List[int] = []
+        """Fully vectorized merge (no per-doc Python objects):
 
-        # Pass A+B: live sealed docs, reconstructed from the inverted
-        # postings (the reference decompresses every block; our blocks are
-        # already arrays).
+        - pass A (relabel, maintain.rs:56-73 analog): old->new doc-id map
+          via a cumulative sum over the live bitmap;
+        - pass B (re-emit, maintain.rs:104-161): masked flatten of the
+          sealed block arrays — relabel is monotonic, so the (token, doc)
+          posting order is preserved and no re-sort is needed;
+        - pass C (growing drain, maintain.rs:167-255): growing postings are
+          mapped into the union vocabulary and merged with a single packed
+          (token_id << 32 | doc_id) u64 sort.
+        """
+        from .sealed import build_sealed_segment_from_postings
+
         seg = self.sealed
-        if seg.n_docs:
+        live = ~self.deleted
+        n_live_sealed = int(live.sum())
+        new_id = np.cumsum(live, dtype=np.int64) - 1  # valid where live
+
+        # Pass A+B: surviving sealed postings, relabeled.
+        if seg.n_docs and seg.n_blocks:
             tok, doc, tfv = seg.postings()
-            order = np.lexsort((tok, doc))  # group by doc, keys sorted
-            tok, doc, tfv = tok[order], doc[order], tfv[order]
-            bounds = np.searchsorted(doc, np.arange(seg.n_docs + 1))
-            for slot in range(seg.n_docs):
-                if self.deleted[slot]:
-                    continue
-                lo, hi = bounds[slot], bounds[slot + 1]
-                keys = seg.token_keys[tok[lo:hi]]
-                docs.append(
-                    Document(
-                        keys=keys, values=tfv[lo:hi].astype(np.uint32)
-                    )
+            keep = live[doc]
+            s_tid = tok[keep].astype(np.int64)
+            s_doc = new_id[doc[keep]]
+            s_tf = tfv[keep].astype(np.int64)
+        else:
+            s_tid = np.zeros(0, dtype=np.int64)
+            s_doc = np.zeros(0, dtype=np.int64)
+            s_tf = np.zeros(0, dtype=np.int64)
+        payloads = seg.doc_payload[live]
+
+        # Pass C: live growing docs (flat arrays; Documents only provide
+        # their already-built key/value arrays).
+        g_live = [
+            i for i, d in enumerate(self.growing.deleted) if not d
+        ]
+        n_new = n_live_sealed + len(g_live)
+        vocab = seg.token_keys
+        if g_live:
+            g_docs = [self.growing.documents[i] for i in g_live]
+            g_counts = np.fromiter(
+                (len(d) for d in g_docs), dtype=np.int64, count=len(g_docs)
+            )
+            if int(g_counts.sum()):
+                g_keys = np.concatenate([d.keys for d in g_docs])
+                g_tf = np.concatenate(
+                    [d.values for d in g_docs]
+                ).astype(np.int64)
+            else:
+                g_keys = np.zeros(0, dtype=seg.token_keys.dtype)
+                g_tf = np.zeros(0, dtype=np.int64)
+            g_doc = n_live_sealed + np.repeat(
+                np.arange(len(g_live), dtype=np.int64), g_counts
+            )
+            payloads = np.concatenate(
+                [
+                    payloads,
+                    np.asarray(
+                        [self.growing.payloads[i] for i in g_live],
+                        dtype=np.int64,
+                    ),
+                ]
+            )
+            if g_keys.size:
+                # Union vocabulary; remap both posting streams into it.
+                vocab = np.union1d(seg.token_keys, g_keys)
+                if seg.token_keys.size:
+                    s_tid = np.searchsorted(vocab, seg.token_keys)[s_tid]
+                g_tid = np.searchsorted(vocab, g_keys)
+                all_tid = np.concatenate([s_tid, g_tid])
+                all_doc = np.concatenate([s_doc, g_doc])
+                all_tf = np.concatenate([s_tf, g_tf])
+                # One u64 key sort restores (token, doc) order.
+                packed = (all_tid.astype(np.uint64) << np.uint64(32)) | all_doc.astype(
+                    np.uint64
                 )
-                payloads.append(int(seg.doc_payload[slot]))
+                order = np.argsort(packed)
+                s_tid, s_doc, s_tf = (
+                    all_tid[order],
+                    all_doc[order],
+                    all_tf[order],
+                )
 
-        # Pass C: live growing docs.
-        for payload, document in self.growing.live_documents():
-            docs.append(document)
-            payloads.append(payload)
-
-        new_sealed = build_sealed_segment(
-            docs, payloads=payloads, options=self.options, progress=progress
+        new_sealed = build_sealed_segment_from_postings(
+            None,
+            s_doc,
+            s_tf,
+            n_new,
+            payloads=payloads,
+            options=self.options,
+            progress=progress,
+            presorted=True,
+            token_ids=s_tid,
+            vocab_keys=vocab,
         )
         # Atomic generation swap (the jump-tuple swap analog).
         self.sealed = new_sealed

@@ -63,9 +63,18 @@ class GrowingSegment:
 
     def bulkdelete(self, predicate) -> int:
         """Mark growing docs whose payload matches (bulkdelete.rs:40-77)."""
+        from .bm25index import _eval_predicate
+
+        mask = _eval_predicate(
+            predicate, np.asarray(self.payloads, dtype=np.int64)
+        )
+        return self.apply_delete_mask(mask)
+
+    def apply_delete_mask(self, mask: np.ndarray) -> int:
+        """Flip delete bits for live docs under a boolean mask; returns count."""
         count = 0
-        for i, payload in enumerate(self.payloads):
-            if not self.deleted[i] and predicate(payload):
+        for i in np.flatnonzero(mask):
+            if not self.deleted[i]:
                 self.deleted[i] = True
                 count += 1
         return count

@@ -267,7 +267,7 @@ def build_sealed_segment(
 
 
 def build_sealed_segment_from_postings(
-    keys: np.ndarray,  # [P] |S16
+    keys: Optional[np.ndarray],  # [P] |S16 (None iff token_ids given)
     doc_ids: np.ndarray,  # [P] int64, in [0, n_docs)
     tfs: np.ndarray,  # [P] int64, nonzero
     n_docs: int,
@@ -276,6 +276,8 @@ def build_sealed_segment_from_postings(
     progress=None,
     presorted: bool = False,
     doc_grouped: bool = False,
+    token_ids: Optional[np.ndarray] = None,
+    vocab_keys: Optional[np.ndarray] = None,
 ) -> SealedSegment:
     """Build directly from flat (key, doc, tf) postings — the fast path for
     bulk ingestion and the entry point for externally sorted/merged runs
@@ -283,6 +285,11 @@ def build_sealed_segment_from_postings(
     presorted=True skips the sort when input is already (key, doc) ordered;
     doc_grouped=True skips the doc-order pre-pass when postings arrive
     grouped by doc (saves one stable sort).
+
+    token_ids/vocab_keys: dense-id alternative to `keys` — postings carry
+    int ids into the sorted `vocab_keys` table instead of 16-byte keys
+    (what maintain's relabel produces; avoids a [P]-sized S16 copy).
+    Requires presorted=True with (token_id, doc) ordering.
     """
     options = options or IndexOptions()
     n = int(n_docs)
@@ -294,10 +301,20 @@ def build_sealed_segment_from_postings(
     if payloads.shape != (n,):
         raise ValueError("payloads must be one int64 per document")
 
-    all_keys = np.asarray(keys, dtype=f"S{WIDTH}")
+    if token_ids is not None:
+        if not presorted:
+            raise ValueError("token_ids path requires presorted postings")
+        if vocab_keys is None:
+            raise ValueError("token_ids requires vocab_keys")
+        all_ids = np.asarray(token_ids, dtype=np.int64)
+        all_keys = None
+        total = all_ids.size
+    else:
+        all_keys = np.asarray(keys, dtype=f"S{WIDTH}")
+        all_ids = None
+        total = all_keys.size
     all_docs = np.asarray(doc_ids, dtype=np.int64)
     all_tfs = np.asarray(tfs, dtype=np.int64)
-    total = all_keys.size
 
     # Pass 1 — records: doc lengths -> fieldnorms, N, Σdl (flush.rs:49-64).
     lengths = np.zeros(n, dtype=np.int64)
@@ -323,7 +340,9 @@ def build_sealed_segment_from_postings(
         )
     if presorted:
         s_keys, s_docs, s_tfs = all_keys, all_docs, all_tfs
+        s_ids = all_ids
     else:
+        s_ids = None
         # Sorting 16-byte strings directly is memcmp-bound; reinterpret
         # each key as two big-endian uint64 columns (numeric order ==
         # byte-lexicographic order) and lexsort integer passes instead.
@@ -353,9 +372,16 @@ def build_sealed_segment_from_postings(
     # Token run-lengths -> token table.
     boundary = np.empty(total, dtype=bool)
     boundary[0] = True
-    boundary[1:] = s_keys[1:] != s_keys[:-1]
-    token_first = np.flatnonzero(boundary)
-    token_keys = s_keys[token_first]
+    if s_ids is not None:
+        boundary[1:] = s_ids[1:] != s_ids[:-1]
+        token_first = np.flatnonzero(boundary)
+        token_keys = np.asarray(vocab_keys, dtype=f"S{WIDTH}")[
+            s_ids[token_first]
+        ]
+    else:
+        boundary[1:] = s_keys[1:] != s_keys[:-1]
+        token_first = np.flatnonzero(boundary)
+        token_keys = s_keys[token_first]
     v = token_keys.size
     token_df = np.diff(np.append(token_first, total)).astype(np.int64)
 
