@@ -40,9 +40,10 @@ class TestPersistence:
         docs = make_docs(rng, 5, vocab=3)
         d = str(tmp_path / "idx")
         save_index(Bm25Index.build(docs), d)
-        meta = json.load(open(f"{d}/meta.json"))
+        gen = open(f"{d}/CURRENT").read().strip()
+        meta = json.load(open(f"{d}/{gen}/meta.json"))
         meta["version"] = 999
-        json.dump(meta, open(f"{d}/meta.json", "w"))
+        json.dump(meta, open(f"{d}/{gen}/meta.json", "w"))
         with pytest.raises(ValueError, match="rebuild the index"):
             load_index(d)
 

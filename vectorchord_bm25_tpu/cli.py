@@ -91,32 +91,33 @@ def cmd_search(args):
 
 
 def cmd_insert(args):
-    from .index.storage import load_index, save_index
+    # WAL-backed: the insert is fsynced to wal.log and acknowledged
+    # without rewriting the checkpoint (O(1) per insert).
+    from .index.storage import open_index
     from .text.corpus import document_from_counts
     from .text.tokenizer import tsvector
 
-    index = load_index(args.index)
+    index = open_index(args.index)
     doc = document_from_counts(index.seed, tsvector(args.text))
     index.insert(doc, args.payload)
-    save_index(index, args.index)
     print(f"inserted payload {args.payload}")
 
 
 def cmd_delete(args):
-    from .index.storage import load_index, save_index
+    from .index.storage import open_index
 
-    index = load_index(args.index)
-    count = index.bulkdelete(lambda p: p == args.payload)
-    save_index(index, args.index)
+    index = open_index(args.index)
+    count = index.bulkdelete_payloads([args.payload])
     print(f"deleted {count} documents")
 
 
 def cmd_maintain(args):
-    from .index.storage import load_index, save_index
+    from .index.storage import open_index, save_index
 
-    index = load_index(args.index)
+    index = open_index(args.index)
     before = len(index.growing)
     index.maintain()
+    # Checkpoint after the merge so the WAL stays short.
     save_index(index, args.index)
     print(
         f"maintain done: merged {before} growing docs; sealed now "

@@ -125,6 +125,13 @@ class Bm25Index:
 
         self._rw = RWLock()
         self._mutex = threading.RLock()
+        # Optional write-ahead log (storage.Wal); mutations are logged and
+        # fsynced before being acknowledged (the GenericXLog analog,
+        # src/index/storage.rs:227-238).
+        self._wal = None
+
+    def attach_wal(self, wal) -> None:
+        self._wal = wal
 
     # ------------------------------------------------------------------
     @classmethod
@@ -194,6 +201,19 @@ class Bm25Index:
         """aminsert analog: append to the growing segment."""
         with self._rw.read(), self._mutex:
             self.growing.insert(document, payload)
+            if self._wal is not None:
+                import base64
+
+                self._wal.append(
+                    {
+                        "op": "insert",
+                        "payload": int(payload),
+                        "keys": base64.b64encode(
+                            document.keys.tobytes()
+                        ).decode(),
+                        "values": document.values.tolist(),
+                    }
+                )
 
     def bulkdelete(self, predicate: Callable[[int], bool]) -> int:
         """Mark docs whose payload matches; returns count marked
@@ -207,29 +227,49 @@ class Bm25Index:
         """
         with self._rw.read(), self._mutex:
             mask = _eval_predicate(predicate, self.sealed.doc_payload)
-            return self._apply_delete_mask(mask) + self.growing.bulkdelete(
-                predicate
+            g_mask = _eval_predicate(
+                predicate, np.asarray(self.growing.payloads, dtype=np.int64)
             )
+            return self._bulkdelete_masks(mask, g_mask)
 
     def bulkdelete_payloads(self, payloads) -> int:
         """Delete by explicit payload set (np.isin fast path)."""
-        targets = np.asarray(list(payloads) if not isinstance(payloads, np.ndarray) else payloads, dtype=np.int64)
+        targets = np.asarray(
+            list(payloads) if not isinstance(payloads, np.ndarray) else payloads,
+            dtype=np.int64,
+        )
         with self._rw.read(), self._mutex:
             mask = np.isin(self.sealed.doc_payload, targets)
-            count = self._apply_delete_mask(mask)
-            g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
-            g_mask = np.isin(g_payloads, targets)
-            count += self.growing.apply_delete_mask(g_mask)
-            return count
+            g_mask = np.isin(
+                np.asarray(self.growing.payloads, dtype=np.int64), targets
+            )
+            return self._bulkdelete_masks(mask, g_mask)
 
-    def _apply_delete_mask(self, mask: np.ndarray) -> int:
-        """Flip sealed delete bits for live docs under `mask`; returns count."""
-        newly = mask & ~self.deleted
+    def _bulkdelete_masks(
+        self, sealed_mask: np.ndarray, growing_mask: np.ndarray
+    ) -> int:
+        """Flip delete bits for live docs under the masks; WAL-log the
+        newly deleted slots (deterministic, predicate-free)."""
+        newly = sealed_mask & ~self.deleted
         count = int(newly.sum())
         if count:
             self.deleted |= newly
             self._engine_deleted_dirty = True
-        return count
+        g_dead = np.asarray(self.growing.deleted, dtype=bool)
+        g_newly = growing_mask & ~g_dead
+        g_slots = np.flatnonzero(g_newly)
+        for i in g_slots:
+            self.growing.deleted[i] = True
+        total = count + int(g_slots.size)
+        if total and self._wal is not None:
+            self._wal.append(
+                {
+                    "op": "delete",
+                    "sealed": np.flatnonzero(newly).tolist(),
+                    "growing": g_slots.tolist(),
+                }
+            )
+        return total
 
     def maintain(self, progress=None) -> None:
         """Merge/compaction (maintain.rs): relabel live docs — sealed slot
@@ -239,6 +279,8 @@ class Bm25Index:
         page exclusive likewise)."""
         with self._rw.write():
             self._maintain_locked(progress)
+            if self._wal is not None:
+                self._wal.append({"op": "maintain"})
 
     def _maintain_locked(self, progress=None) -> None:
         """Fully vectorized merge (no per-doc Python objects):

@@ -1,14 +1,24 @@
-"""Index persistence: save/load sealed segments and whole indexes.
+"""Index persistence: durable checkpoints + write-ahead mutation log.
 
-The reference delegates durability to PostgreSQL WAL; the standalone
-framework checkpoints the array-resident index to disk (SURVEY.md §5:
-"checkpoint sealed segments to disk (orbax-style), growing buffer replay
-log").  Format: one directory per index —
+The reference delegates durability to PostgreSQL WAL — every page write
+goes through GenericXLog and is aborted on panic
+(src/index/storage.rs:227-238).  The standalone framework gets the same
+guarantees from a checkpoint/WAL pair:
 
-    meta.json            options, seed, stats, format version
-    sealed.npz           all sealed-segment arrays
-    growing.jsonl        replay log of growing-segment inserts
-    deleted.npy          sealed delete bitmap
+    <dir>/CURRENT        one-line pointer to the live generation dir,
+                         swapped with atomic rename (crash mid-save
+                         leaves the previous good checkpoint intact)
+    <dir>/gen-NNNNNN/    a checkpoint generation:
+        meta.json        options, seed, stats, format version
+        sealed.npz       all sealed-segment arrays (bit-packed blocks)
+        growing.jsonl    growing-segment docs at checkpoint time
+        deleted.npy      sealed delete bitmap at checkpoint time
+    <dir>/wal.log        append-only JSON-lines log of every acknowledged
+                         mutation since the checkpoint in CURRENT; each
+                         append is flushed + fsynced before the mutation
+                         is acknowledged; replayed on load (a torn final
+                         line — crash mid-append — is ignored, since that
+                         op was never acknowledged)
 
 The format carries a magic + version and refuses to load mismatched
 versions with a "rebuild the index" error, mirroring the reference's
@@ -32,7 +42,102 @@ from .sealed import SealedSegment
 MAGIC = "vcbm25-tpu"
 VERSION = 1
 
-__all__ = ["save_index", "load_index", "save_segment", "load_segment"]
+__all__ = [
+    "save_index",
+    "load_index",
+    "open_index",
+    "save_segment",
+    "load_segment",
+    "Wal",
+]
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write a file so a crash leaves either the old or the new content."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path) or ".")
+
+
+class Wal:
+    """Append-only mutation log (the GenericXLog analog).
+
+    Records are JSON lines; `append` fsyncs before returning so an
+    acknowledged mutation survives a crash.  Replay tolerates a torn
+    final line (crash mid-append = unacknowledged op).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "ab")
+
+    def append(self, record: dict) -> None:
+        self._f.write(json.dumps(record).encode() + b"\n")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def reset(self) -> None:
+        """Truncate after a successful checkpoint (atomically)."""
+        self.close()
+        _atomic_write(self.path, b"")
+        self._f = open(self.path, "ab")
+
+    @staticmethod
+    def replay(path: str, index: Bm25Index) -> int:
+        """Apply logged mutations to a freshly loaded checkpoint."""
+        applied = 0
+        if not os.path.exists(path):
+            return applied
+        with open(path, "rb") as f:
+            for line in f:
+                if not line.endswith(b"\n"):
+                    break  # torn tail from a crash mid-append
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    break
+                op = rec.get("op")
+                if op == "insert":
+                    keys = np.frombuffer(
+                        base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
+                    )
+                    doc = Document(
+                        keys=keys.copy(),
+                        values=np.asarray(rec["values"], dtype=np.uint32),
+                    )
+                    index.growing.insert(doc, int(rec["payload"]))
+                elif op == "delete":
+                    sealed = np.asarray(rec["sealed"], dtype=np.int64)
+                    if sealed.size:
+                        index.deleted[sealed] = True
+                        index._engine_deleted_dirty = True
+                    for slot in rec["growing"]:
+                        index.growing.deleted[slot] = True
+                elif op == "maintain":
+                    index._maintain_locked()
+                else:  # unknown op from a future version
+                    raise ValueError(
+                        f"unknown WAL op {op!r}; rebuild the index"
+                    )
+                applied += 1
+        return applied
 
 _SEGMENT_FIELDS = [
     "doc_fieldnorm",
@@ -176,8 +281,7 @@ def load_segment(path: str, options: IndexOptions, n_docs: int, sum_dl: int) -> 
     return SealedSegment(options=options, n_docs=n_docs, sum_dl=sum_dl, **arrays)
 
 
-def save_index(index: Bm25Index, directory: str) -> None:
-    os.makedirs(directory, exist_ok=True)
+def _write_checkpoint_files(index: Bm25Index, gen_dir: str) -> None:
     meta = {
         "magic": MAGIC,
         "version": VERSION,
@@ -191,12 +295,14 @@ def save_index(index: Bm25Index, directory: str) -> None:
         "n_docs": index.sealed.n_docs,
         "sum_dl": index.sealed.sum_dl,
     }
-    with open(os.path.join(directory, "meta.json"), "w") as f:
+    with open(os.path.join(gen_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    save_segment(index.sealed, os.path.join(directory, "sealed.npz"))
-    np.save(os.path.join(directory, "deleted.npy"), index.deleted)
+        f.flush()
+        os.fsync(f.fileno())
+    save_segment(index.sealed, os.path.join(gen_dir, "sealed.npz"))
+    np.save(os.path.join(gen_dir, "deleted.npy"), index.deleted)
     # Growing segment: replay log of (payload, keys, values).
-    with open(os.path.join(directory, "growing.jsonl"), "w") as f:
+    with open(os.path.join(gen_dir, "growing.jsonl"), "w") as f:
         for i, doc in enumerate(index.growing.documents):
             rec = {
                 "payload": index.growing.payloads[i],
@@ -205,10 +311,62 @@ def save_index(index: Bm25Index, directory: str) -> None:
                 "values": doc.values.tolist(),
             }
             f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(gen_dir)
+
+
+def save_index(index: Bm25Index, directory: str) -> None:
+    """Atomic checkpoint: write a fresh generation dir, fsync everything,
+    swap the CURRENT pointer with an atomic rename, truncate the WAL, and
+    only then garbage-collect older generations.  A crash at any point
+    leaves a loadable index (the previous generation + its WAL)."""
+    with index._rw.read(), index._mutex:
+        _save_index_locked(index, directory)
+
+
+def _save_index_locked(index: Bm25Index, directory: str) -> None:
+    os.makedirs(directory, exist_ok=True)
+    current_path = os.path.join(directory, "CURRENT")
+    prev_gen = None
+    if os.path.exists(current_path):
+        with open(current_path) as f:
+            prev_gen = f.read().strip() or None
+    n = 1
+    if prev_gen and prev_gen.startswith("gen-"):
+        n = int(prev_gen[4:]) + 1
+    gen = f"gen-{n:06d}"
+    gen_dir = os.path.join(directory, gen)
+    os.makedirs(gen_dir, exist_ok=True)
+    _write_checkpoint_files(index, gen_dir)
+    # Point of no return: the pointer swap commits the new generation.
+    _atomic_write(current_path, gen.encode())
+    # The WAL only holds post-checkpoint mutations.
+    wal = getattr(index, "_wal", None)
+    if wal is not None and os.path.dirname(wal.path) == directory:
+        wal.reset()
+    else:
+        wal_path = os.path.join(directory, "wal.log")
+        if os.path.exists(wal_path):
+            _atomic_write(wal_path, b"")
+    # GC superseded generations (best effort; stale dirs are harmless).
+    import shutil
+
+    for name in os.listdir(directory):
+        if name.startswith("gen-") and name != gen:
+            shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
 
 
 def load_index(directory: str) -> Bm25Index:
-    with open(os.path.join(directory, "meta.json")) as f:
+    """Load the committed checkpoint and replay the WAL.  Also reads the
+    round-1 flat layout (meta.json at the top level, no CURRENT)."""
+    current_path = os.path.join(directory, "CURRENT")
+    if os.path.exists(current_path):
+        with open(current_path) as f:
+            base = os.path.join(directory, f.read().strip())
+    else:
+        base = directory
+    with open(os.path.join(base, "meta.json")) as f:
         meta = json.load(f)
     if meta.get("magic") != MAGIC or meta.get("version") != VERSION:
         raise ValueError(
@@ -220,7 +378,7 @@ def load_index(directory: str) -> Bm25Index:
     search_options = SearchOptions(**meta["search_options"])
     seed = base64.b64decode(meta["seed"])
     sealed = load_segment(
-        os.path.join(directory, "sealed.npz"),
+        os.path.join(base, "sealed.npz"),
         options,
         meta["n_docs"],
         meta["sum_dl"],
@@ -229,8 +387,8 @@ def load_index(directory: str) -> Bm25Index:
         sealed, seed, options, search_options,
         engine=meta.get("engine", "blockmax"),
     )
-    index.deleted = np.load(os.path.join(directory, "deleted.npy"))
-    growing_path = os.path.join(directory, "growing.jsonl")
+    index.deleted = np.load(os.path.join(base, "deleted.npy"))
+    growing_path = os.path.join(base, "growing.jsonl")
     if os.path.exists(growing_path):
         with open(growing_path) as f:
             for line in f:
@@ -245,4 +403,13 @@ def load_index(directory: str) -> Bm25Index:
                 slot = index.growing.insert(doc, rec["payload"])
                 if rec.get("deleted"):
                     index.growing.deleted[slot] = True
+    Wal.replay(os.path.join(directory, "wal.log"), index)
+    return index
+
+
+def open_index(directory: str) -> Bm25Index:
+    """Load an index and attach its WAL so subsequent mutations are
+    durable without a full checkpoint (the aminsert/ambulkdelete path)."""
+    index = load_index(directory)
+    index.attach_wal(Wal(os.path.join(directory, "wal.log")))
     return index
