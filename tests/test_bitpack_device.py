@@ -78,6 +78,8 @@ class TestCompressedStorage:
         # Force the numpy codec paths on both save and load.
         monkeypatch.setattr(loader, "compress_blocks", lambda *a, **k: None)
         monkeypatch.setattr(loader, "decompress_blocks", lambda *a, **k: None)
+        monkeypatch.setattr(loader, "bytepack_blocks", lambda *a, **k: None)
+        monkeypatch.setattr(loader, "byteunpack_blocks", lambda *a, **k: None)
         docs = make_docs(rng, 300, vocab=8)
         seg = build_sealed_segment(docs)
         self._roundtrip(seg, tmp_path, compress=True)
@@ -91,6 +93,53 @@ class TestCompressedStorage:
         path = str(tmp_path / "seg.npz")
         save_segment(seg, path, compress=True)
         monkeypatch.setattr(loader, "decompress_blocks", lambda *a, **k: None)
+        monkeypatch.setattr(loader, "byteunpack_blocks", lambda *a, **k: None)
+        back = load_segment(path, seg.options, seg.n_docs, seg.sum_dl)
+        np.testing.assert_array_equal(back.block_docids, seg.block_docids)
+        np.testing.assert_array_equal(back.block_tfs, seg.block_tfs)
+
+    def test_partial_blocks_are_bytepacked(self, rng, tmp_path):
+        # The reference byte-packs partial blocks and bit-packs full ones
+        # (compression.rs:52-62); pin that the on-disk format does too and
+        # that partial-block padding never reaches the disk.
+        docs = make_docs(rng, 400, vocab=12)
+        seg = build_sealed_segment(docs)
+        assert (seg.block_n < 128).any() and (seg.block_n == 128).any()
+        path = str(tmp_path / "seg.npz")
+        save_segment(seg, path, compress=True)
+        with np.load(path) as data:
+            for key in ("fd_bytes", "ft_bytes", "pd_bytes", "pt_bytes"):
+                assert key in data.files
+            part = seg.block_n[seg.block_n < 128].astype(np.int64)
+            # Byte-packed partial docids: at most 4 bytes per LIVE entry.
+            assert data["pd_bytes"].size <= int(part.sum()) * 4
+            widths = data["pd_widths"]
+            assert widths.max() <= 4
+
+    def test_loads_round1_layout(self, rng, tmp_path):
+        # Round-1 checkpoints bit-packed every block including padding
+        # (cd_*/ct_* keys); loading them must still work.
+        from vectorchord_bm25_tpu.index.storage import (
+            _SEGMENT_FIELDS,
+            _bitpack_full,
+        )
+
+        docs = make_docs(rng, 300, vocab=8)
+        seg = build_sealed_segment(docs)
+        arrays = {
+            name: getattr(seg, name)
+            for name in _SEGMENT_FIELDS
+            if name not in ("block_docids", "block_tfs")
+        }
+        d, w, o = _bitpack_full(
+            seg.block_docids.astype(np.uint32),
+            seg.block_min_doc.astype(np.uint32),
+        )
+        arrays["cd_bytes"], arrays["cd_bits"], arrays["cd_offsets"] = d, w, o
+        d, w, o = _bitpack_full(seg.block_tfs.astype(np.uint32))
+        arrays["ct_bytes"], arrays["ct_bits"], arrays["ct_offsets"] = d, w, o
+        path = str(tmp_path / "legacy.npz")
+        np.savez_compressed(path, **arrays)
         back = load_segment(path, seg.options, seg.n_docs, seg.sum_dl)
         np.testing.assert_array_equal(back.block_docids, seg.block_docids)
         np.testing.assert_array_equal(back.block_tfs, seg.block_tfs)

@@ -37,7 +37,7 @@ import numpy as np
 from ..text.intern import WIDTH, Document
 from ..utils.options import IndexOptions, SearchOptions
 from .bm25index import Bm25Index
-from .sealed import SealedSegment
+from .sealed import BLOCK as BLOCK_SIZE, SealedSegment
 
 MAGIC = "vcbm25-tpu"
 VERSION = 1
@@ -157,11 +157,126 @@ _SEGMENT_FIELDS = [
 ]
 
 
+def _bitpack_full(vals: np.ndarray, bases=None):
+    """Bit-pack full 128-blocks (native, numpy fallback)."""
+    from ..native import loader
+    from ..ops.bitpack import pack_u32_np
+
+    packed = loader.compress_blocks(vals, bases)
+    if packed is not None:
+        return packed
+    b = vals.shape[0]
+    widths = np.zeros(b, dtype=np.uint32)
+    chunks = []
+    offsets = np.zeros(b + 1, dtype=np.int64)
+    for i in range(b):
+        if bases is not None:
+            row = np.diff(
+                np.concatenate([[bases[i]], vals[i]]).astype(np.uint64)
+            ).astype(np.uint32)
+        else:
+            row = vals[i]
+        w = int(row.max()).bit_length() if row.size and row.max() else 0
+        widths[i] = w
+        c = pack_u32_np(row, w).view(np.uint8)
+        chunks.append(c)
+        offsets[i + 1] = offsets[i] + c.nbytes
+    data = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    return data, widths, offsets
+
+
+def _bitunpack_full(packed, bits, offsets, bases=None):
+    from ..native import loader
+    from ..ops.bitpack import unpack_u32_np
+
+    vals = loader.decompress_blocks(packed, bits, offsets, bases)
+    if vals is not None:
+        return vals
+    b = np.asarray(bits).size
+    vals = np.zeros((b, 128), dtype=np.uint32)
+    packed = np.asarray(packed, dtype=np.uint8)
+    for i in range(b):
+        w = int(bits[i])
+        raw = packed[offsets[i] : offsets[i + 1]].tobytes()
+        raw = raw.ljust(((128 * w + 31) // 32) * 4, b"\x00")
+        row = unpack_u32_np(np.frombuffer(raw, dtype=np.uint32), w, 128)
+        if bases is not None:
+            row = (bases[i] + np.cumsum(row.astype(np.uint64))).astype(
+                np.uint32
+            )
+        vals[i] = row
+    return vals
+
+
+def _bytepack_partial(vals: np.ndarray, ns: np.ndarray, bases=None):
+    """Byte-pack partial blocks — only the first ns[i] live entries
+    (the reference's partial-block policy, compression.rs:52-62)."""
+    from ..native import loader
+
+    packed = loader.bytepack_blocks(vals, ns, bases)
+    if packed is not None:
+        return packed
+    b = vals.shape[0]
+    widths = np.zeros(b, dtype=np.uint32)
+    chunks = []
+    offsets = np.zeros(b + 1, dtype=np.int64)
+    for i in range(b):
+        n = int(ns[i])
+        if bases is not None:
+            row = np.diff(
+                np.concatenate([[bases[i]], vals[i, :n]]).astype(np.uint64)
+            ).astype(np.uint32)
+        else:
+            row = vals[i, :n]
+        top = int(row.max()) if n else 0
+        w = (top.bit_length() + 7) // 8
+        widths[i] = w
+        c = (
+            row.astype("<u4").view(np.uint8).reshape(n, 4)[:, :w].ravel()
+            if w
+            else np.zeros(0, np.uint8)
+        )
+        chunks.append(c)
+        offsets[i + 1] = offsets[i] + c.nbytes
+    data = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    return data, widths, offsets
+
+
+def _byteunpack_partial(packed, widths, offsets, ns, bases=None, fill=0):
+    from ..native import loader
+
+    vals = loader.byteunpack_blocks(packed, widths, offsets, ns, bases, fill)
+    if vals is not None:
+        return vals
+    b = np.asarray(widths).size
+    vals = np.full((b, 128), fill, dtype=np.uint32)
+    packed = np.asarray(packed, dtype=np.uint8)
+    for i in range(b):
+        n, w = int(ns[i]), int(widths[i])
+        if n == 0:
+            continue
+        if w == 0:
+            row = np.zeros(n, dtype=np.uint32)
+        else:
+            raw = packed[offsets[i] : offsets[i + 1]].reshape(n, w)
+            full = np.zeros((n, 4), dtype=np.uint8)
+            full[:, :w] = raw
+            row = full.view("<u4").ravel()
+        if bases is not None:
+            row = (bases[i] + np.cumsum(row.astype(np.uint64))).astype(
+                np.uint32
+            )
+        vals[i, :n] = row
+    return vals
+
+
 def save_segment(seg: SealedSegment, path: str, compress: bool = True) -> None:
-    """Write a sealed segment; with compress=True the [B, 128] block arrays
-    are stored bit-packed (doc ids delta-coded from the block minimum, term
-    frequencies plain — the BlockTuple codec policy, compression.rs:36-136)
-    through the native codec with a numpy fallback."""
+    """Write a sealed segment.  With compress=True the [B, 128] block
+    arrays are stored with the reference's codec policy
+    (compression.rs:36-136): full 128-blocks are bit-packed (doc ids
+    delta-coded from the block minimum, term frequencies plain), partial
+    blocks are byte-packed over only their live entries (no padding on
+    disk)."""
     arrays = {
         name: getattr(seg, name)
         for name in _SEGMENT_FIELDS
@@ -169,61 +284,25 @@ def save_segment(seg: SealedSegment, path: str, compress: bool = True) -> None:
     }
     b = seg.n_blocks
     if compress and b:
-        from ..native import loader
-        from ..ops.bitpack import pack_u32_np
-
-        # Delta bases: previous value convention = block min - 0? The
-        # codec deltas from a caller-provided base; use each block's own
-        # min doc (stored in block metadata) so deltas stay small.
+        full = seg.block_n == BLOCK_SIZE
+        part = ~full
         bases = seg.block_min_doc.astype(np.uint32)
         docids = seg.block_docids.astype(np.uint32)
         tfs = seg.block_tfs.astype(np.uint32)
-        packed = loader.compress_blocks(docids, bases)
-        if packed is None:
-            # numpy fallback: per-block delta + pack.
-            widths = np.zeros(b, dtype=np.uint32)
-            chunks = []
-            offsets = np.zeros(b + 1, dtype=np.int64)
-            for i in range(b):
-                deltas = np.diff(
-                    np.concatenate([[bases[i]], docids[i]]).astype(np.uint64)
-                ).astype(np.uint32)
-                w = int(deltas.max()).bit_length() if deltas.max() else 0
-                widths[i] = w
-                c = pack_u32_np(deltas, w).view(np.uint8)
-                chunks.append(c)
-                offsets[i + 1] = offsets[i] + c.nbytes
-            arrays["cd_bytes"] = (
-                np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
-            )
-            arrays["cd_bits"] = widths
-            arrays["cd_offsets"] = offsets
-        else:
-            data, widths, offsets = packed
-            arrays["cd_bytes"] = data
-            arrays["cd_bits"] = widths
-            arrays["cd_offsets"] = offsets
-        packed_t = loader.compress_blocks(tfs)
-        if packed_t is None:
-            widths = np.zeros(b, dtype=np.uint32)
-            chunks = []
-            offsets = np.zeros(b + 1, dtype=np.int64)
-            for i in range(b):
-                w = int(tfs[i].max()).bit_length() if tfs[i].max() else 0
-                widths[i] = w
-                c = pack_u32_np(tfs[i], w).view(np.uint8)
-                chunks.append(c)
-                offsets[i + 1] = offsets[i] + c.nbytes
-            arrays["ct_bytes"] = (
-                np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
-            )
-            arrays["ct_bits"] = widths
-            arrays["ct_offsets"] = offsets
-        else:
-            data, widths, offsets = packed_t
-            arrays["ct_bytes"] = data
-            arrays["ct_bits"] = widths
-            arrays["ct_offsets"] = offsets
+        for prefix, data, widths, offsets in (
+            ("fd", *_bitpack_full(docids[full], bases[full])),
+            ("ft", *_bitpack_full(tfs[full])),
+            (
+                "pd",
+                *_bytepack_partial(
+                    docids[part], seg.block_n[part], bases[part]
+                ),
+            ),
+            ("pt", *_bytepack_partial(tfs[part], seg.block_n[part])),
+        ):
+            arrays[f"{prefix}_bytes"] = data
+            arrays[f"{prefix}_widths"] = widths
+            arrays[f"{prefix}_offsets"] = offsets
     else:
         arrays["block_docids"] = seg.block_docids
         arrays["block_tfs"] = seg.block_tfs
@@ -237,45 +316,41 @@ def load_segment(path: str, options: IndexOptions, n_docs: int, sum_dl: int) -> 
             for name in _SEGMENT_FIELDS
             if name in data.files
         }
-        if "cd_bytes" in data.files:
-            from ..native import loader
-            from ..ops.bitpack import unpack_u32_np
-
-            b = arrays["block_n"].size
+        if "fd_bytes" in data.files:
+            # Full/partial codec split (the reference policy).
+            block_n = arrays["block_n"]
+            b = block_n.size
+            full = block_n == BLOCK_SIZE
+            part = ~full
             bases = arrays["block_min_doc"].astype(np.uint32)
-            docids = loader.decompress_blocks(
+            docids = np.full((b, 128), n_docs, dtype=np.uint32)
+            tfs = np.zeros((b, 128), dtype=np.uint32)
+            docids[full] = _bitunpack_full(
+                data["fd_bytes"], data["fd_widths"], data["fd_offsets"],
+                bases[full],
+            )
+            tfs[full] = _bitunpack_full(
+                data["ft_bytes"], data["ft_widths"], data["ft_offsets"]
+            )
+            docids[part] = _byteunpack_partial(
+                data["pd_bytes"], data["pd_widths"], data["pd_offsets"],
+                block_n[part], bases[part], fill=n_docs,
+            )
+            tfs[part] = _byteunpack_partial(
+                data["pt_bytes"], data["pt_widths"], data["pt_offsets"],
+                block_n[part],
+            )
+            arrays["block_docids"] = docids.astype(np.int32)
+            arrays["block_tfs"] = tfs.astype(np.int32)
+        elif "cd_bytes" in data.files:
+            # Round-1 layout: every block bit-packed (padding included).
+            bases = arrays["block_min_doc"].astype(np.uint32)
+            docids = _bitunpack_full(
                 data["cd_bytes"], data["cd_bits"], data["cd_offsets"], bases
             )
-            if docids is None:
-                docids = np.zeros((b, 128), dtype=np.uint32)
-                bb, off = data["cd_bytes"], data["cd_offsets"]
-                for i in range(b):
-                    words = np.frombuffer(
-                        bb[off[i] : off[i + 1]].tobytes().ljust(
-                            ((128 * int(data["cd_bits"][i]) + 31) // 32) * 4,
-                            b"\x00",
-                        ),
-                        dtype=np.uint32,
-                    )
-                    deltas = unpack_u32_np(words, int(data["cd_bits"][i]), 128)
-                    docids[i] = bases[i] + np.cumsum(
-                        deltas.astype(np.uint64)
-                    ).astype(np.uint32)
-            tfs = loader.decompress_blocks(
+            tfs = _bitunpack_full(
                 data["ct_bytes"], data["ct_bits"], data["ct_offsets"]
             )
-            if tfs is None:
-                tfs = np.zeros((b, 128), dtype=np.uint32)
-                bb, off = data["ct_bytes"], data["ct_offsets"]
-                for i in range(b):
-                    words = np.frombuffer(
-                        bb[off[i] : off[i + 1]].tobytes().ljust(
-                            ((128 * int(data["ct_bits"][i]) + 31) // 32) * 4,
-                            b"\x00",
-                        ),
-                        dtype=np.uint32,
-                    )
-                    tfs[i] = unpack_u32_np(words, int(data["ct_bits"][i]), 128)
             arrays["block_docids"] = docids.astype(np.int32)
             arrays["block_tfs"] = tfs.astype(np.int32)
     return SealedSegment(options=options, n_docs=n_docs, sum_dl=sum_dl, **arrays)

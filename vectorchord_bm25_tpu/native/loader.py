@@ -67,6 +67,24 @@ def _declare(lib):
     ]
     lib.vcbm25_decompress_blocks_unordered.restype = None
 
+    i32p = c.POINTER(c.c_int32)
+    lib.vcbm25_bytepack_blocks_ordered.argtypes = [
+        u32p, u32p, i32p, c.c_int64, u8p, u32p, i64p,
+    ]
+    lib.vcbm25_bytepack_blocks_ordered.restype = None
+    lib.vcbm25_byteunpack_blocks_ordered.argtypes = [
+        u32p, u32p, i64p, i32p, c.c_int64, u8p, u32p,
+    ]
+    lib.vcbm25_byteunpack_blocks_ordered.restype = None
+    lib.vcbm25_bytepack_blocks_unordered.argtypes = [
+        u32p, i32p, c.c_int64, u8p, u32p, i64p,
+    ]
+    lib.vcbm25_bytepack_blocks_unordered.restype = None
+    lib.vcbm25_byteunpack_blocks_unordered.argtypes = [
+        u32p, i64p, i32p, c.c_int64, u8p, u32p,
+    ]
+    lib.vcbm25_byteunpack_blocks_unordered.restype = None
+
     lib.vcbm25_sort_mappings_file.argtypes = [c.c_char_p]
     lib.vcbm25_sort_mappings_file.restype = c.c_int
     lib.vcbm25_merge_mappings.argtypes = [
@@ -185,6 +203,79 @@ def decompress_blocks(packed, bitwidths, offsets, bases=None):
         lib.vcbm25_decompress_blocks_unordered(
             _as_ptr(bitwidths, ctypes.c_uint32),
             _as_ptr(offsets, ctypes.c_int64),
+            b,
+            _as_ptr(packed, ctypes.c_uint8),
+            _as_ptr(vals, ctypes.c_uint32),
+        )
+    return vals
+
+
+# ---------------------------------------------------------------------------
+def bytepack_blocks(vals: np.ndarray, ns: np.ndarray, bases=None):
+    """Byte-pack the first ns[i] entries of each [B, 128] row (the
+    reference's partial-block codec, compression.rs:52-62); delta-coded
+    when `bases` given.  Returns (bytes, widths [B] u32, offsets [B+1]) or
+    None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    b = vals.shape[0]
+    out = np.zeros(vals.size * 4 + 8, dtype=np.uint8)
+    widths = np.zeros(b, dtype=np.uint32)
+    offsets = np.zeros(b + 1, dtype=np.int64)
+    if bases is not None:
+        bases = np.ascontiguousarray(bases, dtype=np.uint32)
+        lib.vcbm25_bytepack_blocks_ordered(
+            _as_ptr(bases, ctypes.c_uint32),
+            _as_ptr(vals, ctypes.c_uint32),
+            _as_ptr(ns, ctypes.c_int32),
+            b,
+            _as_ptr(out, ctypes.c_uint8),
+            _as_ptr(widths, ctypes.c_uint32),
+            _as_ptr(offsets, ctypes.c_int64),
+        )
+    else:
+        lib.vcbm25_bytepack_blocks_unordered(
+            _as_ptr(vals, ctypes.c_uint32),
+            _as_ptr(ns, ctypes.c_int32),
+            b,
+            _as_ptr(out, ctypes.c_uint8),
+            _as_ptr(widths, ctypes.c_uint32),
+            _as_ptr(offsets, ctypes.c_int64),
+        )
+    return out[: offsets[-1]].copy(), widths, offsets
+
+
+def byteunpack_blocks(packed, widths, offsets, ns, bases=None, fill=0):
+    """Inverse of bytepack_blocks -> [B, 128] uint32 (slots >= ns[i] hold
+    `fill`), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    widths = np.ascontiguousarray(widths, dtype=np.uint32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    b = widths.size
+    vals = np.full((b, 128), fill, dtype=np.uint32)
+    if bases is not None:
+        bases = np.ascontiguousarray(bases, dtype=np.uint32)
+        lib.vcbm25_byteunpack_blocks_ordered(
+            _as_ptr(bases, ctypes.c_uint32),
+            _as_ptr(widths, ctypes.c_uint32),
+            _as_ptr(offsets, ctypes.c_int64),
+            _as_ptr(ns, ctypes.c_int32),
+            b,
+            _as_ptr(packed, ctypes.c_uint8),
+            _as_ptr(vals, ctypes.c_uint32),
+        )
+    else:
+        lib.vcbm25_byteunpack_blocks_unordered(
+            _as_ptr(widths, ctypes.c_uint32),
+            _as_ptr(offsets, ctypes.c_int64),
+            _as_ptr(ns, ctypes.c_int32),
             b,
             _as_ptr(packed, ctypes.c_uint8),
             _as_ptr(vals, ctypes.c_uint32),

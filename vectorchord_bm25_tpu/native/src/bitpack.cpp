@@ -242,4 +242,61 @@ void vcbm25_decompress_blocks_unordered(const uint32_t* bitwidths,
                                         vals + i * BLOCK);
 }
 
+// Batch byte-packing for partial blocks (<128 live entries).  The
+// reference byte-packs partial blocks and bit-packs only full ones
+// (crates/bm25/src/compression.rs:52-62); these walk [nblocks, 128]
+// arrays but pack only the first ns[i] entries of each block.
+
+void vcbm25_bytepack_blocks_ordered(const uint32_t* bases, const uint32_t* vals,
+                                    const int32_t* ns, int64_t nblocks,
+                                    uint8_t* out, uint32_t* widths,
+                                    int64_t* out_offsets) {
+    int64_t pos = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < nblocks; i++) {
+        const uint32_t* v = vals + i * BLOCK;
+        int n = ns[i];
+        uint32_t w = vcbm25_bytewidth_u32_ordered(bases[i], v, n);
+        widths[i] = w;
+        pos += static_cast<int64_t>(
+            vcbm25_bytepack_u32_ordered(bases[i], v, n, w, out + pos));
+        out_offsets[i + 1] = pos;
+    }
+}
+
+void vcbm25_byteunpack_blocks_ordered(const uint32_t* bases,
+                                      const uint32_t* widths,
+                                      const int64_t* offsets,
+                                      const int32_t* ns, int64_t nblocks,
+                                      const uint8_t* in, uint32_t* vals) {
+    for (int64_t i = 0; i < nblocks; i++)
+        vcbm25_byteunpack_u32_ordered(bases[i], widths[i], in + offsets[i],
+                                      ns[i], vals + i * BLOCK);
+}
+
+void vcbm25_bytepack_blocks_unordered(const uint32_t* vals, const int32_t* ns,
+                                      int64_t nblocks, uint8_t* out,
+                                      uint32_t* widths, int64_t* out_offsets) {
+    int64_t pos = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < nblocks; i++) {
+        const uint32_t* v = vals + i * BLOCK;
+        int n = ns[i];
+        uint32_t w = vcbm25_bytewidth_u32_unordered(v, n);
+        widths[i] = w;
+        pos += static_cast<int64_t>(
+            vcbm25_bytepack_u32_unordered(v, n, w, out + pos));
+        out_offsets[i + 1] = pos;
+    }
+}
+
+void vcbm25_byteunpack_blocks_unordered(const uint32_t* widths,
+                                        const int64_t* offsets,
+                                        const int32_t* ns, int64_t nblocks,
+                                        const uint8_t* in, uint32_t* vals) {
+    for (int64_t i = 0; i < nblocks; i++)
+        vcbm25_byteunpack_u32_unordered(widths[i], in + offsets[i], ns[i],
+                                        vals + i * BLOCK);
+}
+
 }  // extern "C"
