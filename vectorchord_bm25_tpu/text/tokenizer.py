@@ -36,21 +36,39 @@ STOPWORDS = frozenset(
     """.split()
 )
 
-# Default-parser word segmentation, covering PostgreSQL's common token
-# classes: email, url/host, file paths, numbers with version punctuation,
-# hyphenated compounds (asciihword, whole + parts), and plain words
-# (letters, may include digits -> numword).
-_HAS_DIGIT = re.compile(r"[0-9]")
+# Default-parser segmentation, covering PostgreSQL's token classes
+# (src/backend/tsearch/wparser_def.c behavior, observed through
+# to_tsvector('english', ...)):
+#
+#   email                   kept whole, lowercased (simple dict)
+#   protocol + url          url emits url + host + url_path lexemes
+#   host                    bare dotted names ('example.com', 'foo.txt')
+#   file                    absolute /paths kept whole
+#   version/float/uint      digit tokens kept verbatim
+#   asciihword/hword        compound whole + its parts
+#   numword/hword_numpart   tokens containing digits: lowercased verbatim
+#   asciiword/word          Unicode letters, snowball-stemmed
+#
+# Word characters are Unicode letters/digits ([^\W_]); underscore and
+# apostrophe are separators (PostgreSQL: "don't" -> "don" + "t", both
+# stopwords; "foo_bar" -> "foo" + "bar").
+_HAS_DIGIT = re.compile(r"\d")
+_HOST = r"(?:[A-Za-z0-9_-]+\.)+[A-Za-z0-9_-]*[A-Za-z][A-Za-z0-9_-]*"
 _SPECIAL = re.compile(
-    r"""
-    (?P<email>[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})
-  | (?P<url>(?:https?://|www\.)[^\s<>"']+)
-  | (?P<path>/(?:[A-Za-z0-9_.-]+/)+[A-Za-z0-9_.-]*)
-  | (?P<version>[0-9]+(?:\.[0-9]+){1,})
+    rf"""
+    (?P<email>[A-Za-z0-9._-]+@(?:[A-Za-z0-9_-]+\.)+[A-Za-z0-9_-]+)
+  | (?P<url>
+        [A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9._-]+(?:/[^\s<>"']*)?
+      | {_HOST}/[^\s<>"']*
+    )
+  | (?P<path>/(?:[A-Za-z0-9_.-]+/)*[A-Za-z0-9_.-]+)
+  | (?P<version>[0-9]+(?:\.[0-9]+)+)
+  | (?P<host>{_HOST})
     """,
     re.VERBOSE,
 )
-_WORDS = re.compile(r"[A-Za-z0-9]+(?:-[A-Za-z0-9]+)*")
+_WORDS = re.compile(r"[^\W_]+(?:-[^\W_]+)*")
+_PROTOCOL = re.compile(r"[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def _segment(text: str) -> List[str]:
@@ -58,14 +76,15 @@ def _segment(text: str) -> List[str]:
 
     A hyphenated compound emits the whole followed by its parts
     (PostgreSQL default parser: to_tsvector('english','quick-brown fox') =
-    'quick-brown':1 'quick':2 'brown':3 'fox':4); emails, urls, file
-    paths, and dotted version numbers are kept as single lexemes like
-    PostgreSQL's email/url/file/version token classes.
+    'quick-brown':1 'quick':2 'brown':3 'fox':4); a URL emits the url,
+    host, and url_path lexemes; emails, bare hosts, file paths, and
+    dotted numbers stay single lexemes, mirroring PostgreSQL's
+    email/url/host/file/version token classes.
     """
     out: List[str] = []
     spans: List[tuple] = []
     for m in _SPECIAL.finditer(text):
-        spans.append((m.start(), m.end(), m.group(0)))
+        spans.append((m.start(), m.end(), m.lastgroup, m.group(0)))
 
     def emit_words(chunk: str):
         for m in _WORDS.finditer(chunk):
@@ -77,9 +96,18 @@ def _segment(text: str) -> List[str]:
                 out.append(tok)
 
     last = 0
-    for start, end, tok in spans:
+    for start, end, kind, tok in spans:
         emit_words(text[last:start])
-        out.append(tok.rstrip(".,;:!?"))
+        tok = tok.rstrip(".,;:!?")
+        if kind == "url":
+            rest = _PROTOCOL.sub("", tok, count=1)
+            host, slash, path = rest.partition("/")
+            if slash:
+                out.extend([rest, host, slash + path])
+            else:
+                out.append(host)  # protocol://host with no path
+        else:
+            out.append(tok)
         last = end
     emit_words(text[last:])
     return out
@@ -91,9 +119,9 @@ def _normalize(token: str) -> str | None:
     if low in STOPWORDS:
         return None
     if _HAS_DIGIT.search(low) or "@" in low or "/" in low or "." in low:
-        return low  # numword/email/url/path behavior: kept verbatim
+        return low  # numword/email/url/host/path behavior: kept verbatim
     # Hyphenated compounds are stemmed whole, like PostgreSQL
-    # ('object-relational' -> 'object-relat'): snowball suffix-strips the
+    # ('object-relational' -> 'object-rel'): snowball suffix-strips the
     # string tail, hyphens just read as consonants.
     return stem(low)
 
