@@ -147,6 +147,53 @@ def synth_queries(docs, segment, n_queries: int, terms: int = 4, seed: int = 1):
     return out
 
 
+def run_dataset_bench(args) -> None:
+    """--dataset mode: QPS + NDCG@10 + recall@k on a BEIR-layout dataset
+    (a real downloaded one, or 'synthetic:scifact' for the frozen offline
+    generator — see vectorchord_bm25_tpu/data/synthetic.py for the recipe).
+    """
+    import sys
+
+    from vectorchord_bm25_tpu.data.beir import load_beir
+    from vectorchord_bm25_tpu.data.harness import (
+        build_index,
+        make_queries,
+        oracle_rank_parity,
+        run_dataset,
+    )
+    from vectorchord_bm25_tpu.data.synthetic import generate_beir_like
+
+    if args.dataset.startswith("synthetic:"):
+        ds = generate_beir_like(args.dataset.split(":", 1)[1])
+    else:
+        ds = load_beir(args.dataset)
+    index = build_index(ds, engine=args.engine)
+    queries = make_queries(ds, index)
+    _, metrics, qps = run_dataset(
+        ds, index, k=1000, batch=args.batch, queries=queries,
+        rounds=args.rounds,
+    )
+    mismatches = oracle_rank_parity(ds, index, k=args.k, queries=queries)
+    print(
+        f"{ds.name}: {ds.n_docs} docs, {ds.n_queries} queries | "
+        f"oracle rank-parity mismatches@{args.k}: {mismatches}",
+        file=sys.stderr,
+    )
+    baseline = 28.38  # reference trec-covid QPS (README.md:389-394)
+    print(
+        json.dumps(
+            {
+                "metric": f"{ds.name}_qps_top1000_full_queryset",
+                "value": round(qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / baseline, 2),
+                **metrics,
+                "oracle_parity_mismatches": mismatches,
+            }
+        )
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--docs", type=int, default=131072)
@@ -160,11 +207,20 @@ def main():
         "--engine", choices=["exact", "blockmax", "hybrid"], default="hybrid"
     )
     parser.add_argument("--chunk", type=int, default=None)
+    parser.add_argument(
+        "--dataset",
+        default=None,
+        help="BEIR dataset dir, or synthetic:scifact / synthetic:scifact-mini",
+    )
     args = parser.parse_args()
 
     from vectorchord_bm25_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+
+    if args.dataset:
+        run_dataset_bench(args)
+        return
 
     from vectorchord_bm25_tpu.index.sealed import (
         build_sealed_segment_from_postings,
@@ -217,23 +273,27 @@ def main():
         best_qps = max(best_qps, total / dt)
 
     # Recall@k vs the exhaustive float64 oracle (BASELINE.json's recall
-    # metric) on a query sample — engines are exact by construction, so
-    # this should print 1.0; reported to stderr to keep stdout one line.
+    # metric) on the FULL query set — engines are exact by construction,
+    # so this should print 1.0; reported to stderr to keep stdout one line.
     import sys as _sys
 
     from vectorchord_bm25_tpu.search.exact import oracle_topk
 
-    sample = queries[: min(32, len(queries))]
-    scores_s, ids_s, _ = engine.search(sample, args.k)
     hits = 0
     total = 0
-    for qi, query in enumerate(sample):
-        _, o_ids = oracle_topk(seg, query, args.k, dtype=np.float64)
-        got = set(int(x) for x in ids_s[qi] if x >= 0)
-        hits += len(got & set(int(x) for x in o_ids))
-        total += len(o_ids)
+    for batch in batches:
+        _, ids_s, _ = engine.search(batch, args.k)
+        for qi, query in enumerate(batch):
+            _, o_ids = oracle_topk(seg, query, args.k, dtype=np.float64)
+            got = set(int(x) for x in ids_s[qi] if x >= 0)
+            hits += len(got & set(int(x) for x in o_ids))
+            total += len(o_ids)
     recall = hits / total if total else 1.0
-    print(f"recall@{args.k} vs exhaustive oracle: {recall:.4f}", file=_sys.stderr)
+    print(
+        f"recall@{args.k} vs exhaustive oracle ({total} hits over "
+        f"{sum(len(b) for b in batches)} queries): {recall:.4f}",
+        file=_sys.stderr,
+    )
 
     baseline = 28.38  # reference trec-covid QPS (README.md:389-394)
     print(
