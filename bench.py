@@ -295,6 +295,14 @@ def main():
         file=_sys.stderr,
     )
 
+    # Equal-index-memory accounting: this engine's device-resident bytes
+    # vs the reference's bit/byte-packed block format on the same postings
+    # (BASELINE.md's equal-index-memory constraint).
+    from vectorchord_bm25_tpu.utils.memparity import memory_parity_report
+
+    parity = memory_parity_report(engine, seg)
+    print(f"memory parity: {parity}", file=_sys.stderr)
+
     baseline = 28.38  # reference trec-covid QPS (README.md:389-394)
     print(
         json.dumps(
@@ -303,6 +311,13 @@ def main():
                 "value": round(best_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(best_qps / baseline, 2),
+                "device_bytes_per_posting": parity[
+                    "device_bytes_per_posting"
+                ],
+                "reference_bytes_per_posting": parity[
+                    "reference_bytes_per_posting"
+                ],
+                "memory_ratio_vs_reference": parity["ratio_vs_reference"],
             }
         )
     )

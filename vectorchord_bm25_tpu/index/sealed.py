@@ -181,6 +181,35 @@ class SealedSegment:
             total += getattr(self, name).nbytes
         return total
 
+    def flat_impact_postings(
+        self, global_stats=None, dtype=np.float32
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Flat (token, doc)-ordered posting stream with precomputed
+        impacts: (docids int32 [P], impacts [P], token_flat_start [V+1]).
+
+        The zero-padding dense form: the CSR maps each token to its
+        contiguous posting span (Σ df offsets), so device storage is
+        exactly 1 posting per lane — the equal-index-memory layout for
+        the dense engine (the reference likewise stores no padding,
+        compression.rs:52-62).
+        """
+        tok, doc, tfv = self.postings()
+        if global_stats is not None:
+            n_total, sum_dl_total, s0 = global_stats
+            tables = ScoreTables.create(
+                self.options.k1, self.options.b, n_total, sum_dl_total
+            )
+            s0 = np.asarray(s0, dtype=np.float64)
+        else:
+            tables = self.score_tables()
+            s0 = self.token_s0()
+        fn = self.doc_fieldnorm[doc].astype(np.int64)
+        t = tfv.astype(np.float64)
+        imp = (t * s0[tok]) / (t + tables.s1_table[fn])
+        csr = np.zeros(self.n_tokens + 1, dtype=np.int64)
+        csr[1:] = np.cumsum(self.token_df.astype(np.int64))
+        return doc.astype(np.int32), imp.astype(dtype), csr
+
     def postings(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Invert back to sorted (token_id, doc_id, tf) triples.
 

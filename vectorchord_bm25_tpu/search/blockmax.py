@@ -49,8 +49,10 @@ def _blockmax_kernel(
     doc_live,  # [N+1] float32
     filter_mask,  # [N+1] float32
     tr_range,  # [M+1] int32 (pad slot: INT_MAX)
-    tr_start,  # [M+1] int32
-    tr_len,  # [M+1] int32
+    tr_start,  # [M+2] int32 (groups are contiguous in the posting
+    #            stream, so tr_start[g+1] - tr_start[g] is the group
+    #            length — lengths never ship to the device; slots M and
+    #            M+1 both hold the total so the pad group has length 0)
     tr_ub,  # [M+1] float32
     token_tr_start,  # [V+2] int32 CSR
     q_tid,  # [Q, T] int32 (pad = V, the null term)
@@ -80,7 +82,7 @@ def _blockmax_kernel(
     lmask = l_iota < count[..., None]
     qt_range = jnp.where(lmask, tr_range[widx], _INT_MAX)  # ascending per (q,t)
     qt_start = jnp.where(lmask, tr_start[widx], 0)
-    qt_len = jnp.where(lmask, tr_len[widx], 0)
+    qt_len = jnp.where(lmask, tr_start[widx + 1] - tr_start[widx], 0)
     qt_ub = jnp.where(lmask, tr_ub[widx], 0.0)
 
     # Phase 1: dense per-range upper bounds (Σ over terms).
@@ -263,10 +265,15 @@ class BlockMaxEngine:
         self.dev_tr_range = put(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
         )
-        self.dev_tr_start = put(
-            np.append(ri.tr_start, 0).astype(np.int32)
+        # Group lengths are derived on device as tr_start diffs (groups
+        # are contiguous); slots M and M+1 hold the total so the pad
+        # group reads length 0.
+        total = (
+            int(ri.tr_start[-1] + ri.tr_len[-1]) if ri.tr_len.size else 0
         )
-        self.dev_tr_len = put(np.append(ri.tr_len, 0).astype(np.int32))
+        self.dev_tr_start = put(
+            np.append(ri.tr_start, [total, total]).astype(np.int32)
+        )
         ub = np.append(ri.tr_ub, 0.0).astype(np.float32)
         if impact_dtype == "bfloat16":
             # bf16 round-to-nearest can raise a posting's stored impact by
@@ -289,7 +296,9 @@ class BlockMaxEngine:
         ri = self.ranges
         doc_tables = 4 * (self.segment.n_docs + 1)  # doc_live f32
         m1 = ri.tr_range.size + 1  # + pad slot
-        range_meta = (4 + 4 + 4 + 4) * m1  # tr_range/start/len/ub int32/f32
+        # tr_range/start/ub (+ the extra total slot of tr_start); group
+        # lengths are derived on device from start diffs.
+        range_meta = (4 + 4 + 4) * m1 + 4
         csr = 4 * (self.segment.n_tokens + 2)
         postings = ri.post_impact.nbytes + ri.post_local.nbytes
         total = postings + range_meta + csr + doc_tables
@@ -354,7 +363,6 @@ class BlockMaxEngine:
             fm_dev,
             self.dev_tr_range,
             self.dev_tr_start,
-            self.dev_tr_len,
             self.dev_tr_ub,
             self.dev_token_tr_start,
             jnp.asarray(q_tid),

@@ -4,10 +4,15 @@ Uploads the arrays the query engines actually touch, with sentinel rows
 appended so padded gathers are branch-free:
 
 - doc slot `n_docs` is the pad doc (dead);
-- block id `n_blocks` is the pad block (all pad docs, impact 0).
+- posting row `n_rows` is the pad row (all pad docs, impact 0).
 
-Scoring is impact-eager (per-posting scores precomputed at build time,
-`SealedSegment.block_impacts`), so no scoring tables ship to the device.
+Scoring is impact-eager (per-posting scores precomputed at build time),
+so no scoring tables ship to the device.  Postings are stored as the
+FLAT (token, doc)-ordered stream reshaped to [rows, 128] — zero padding
+between terms (8 B/posting at f32 impacts, 6 at bf16), unlike the
+per-token 128-blocks whose partial tails would pad rare terms up to
+128x.  A term's postings are a contiguous span of the flat stream
+(CSR offsets = Σ df), gathered as masked row windows.
 """
 
 from __future__ import annotations
@@ -28,11 +33,12 @@ class DeviceSegment:
 
     n_docs: int
     n_tokens: int
-    n_blocks: int
+    n_rows: int  # posting rows (128 lanes each), excluding the pad row
 
     doc_live: object  # [N+1] float32 (1.0 live, 0.0 deleted/pad)
-    block_docids: object  # [B+1, 128] int32 (pad = N)
-    block_impact: object  # [B+1, 128] float32 precomputed scores (pad = 0)
+    post_docid: object  # [R+1, 128] int32 flat postings (pad = N)
+    post_impact: object  # [R+1, 128] f32/bf16 precomputed scores (pad = 0)
+    token_flat_start: object = None  # host [V+1] int64 CSR into postings
 
     host: SealedSegment = None
 
@@ -44,28 +50,40 @@ class DeviceSegment:
         device=None,
         with_blocks: bool = True,
         impact_dtype: str = "float32",
+        global_stats=None,
     ) -> "DeviceSegment":
-        """with_blocks=False skips uploading the [B, 128] block arrays
-        (the pruned engine reads the compact flat postings instead).
-        impact_dtype="bfloat16" halves impact memory at ~0.4% relative
-        score rounding (rank ties may reorder)."""
+        """with_blocks=False skips uploading the posting rows (the pruned
+        engine reads its own compact flat postings instead).
+        impact_dtype="bfloat16" drops impact memory to 2 B/posting at
+        ~0.4% relative score rounding (rank ties may reorder).
+        global_stats: (N, Σdl, token_s0) for doc-sharded segments."""
         import jax
         import jax.numpy as jnp
 
-        n, v, b = seg.n_docs, seg.n_tokens, seg.n_blocks
-        if not with_blocks:
-            b = 0
+        n, v = seg.n_docs, seg.n_tokens
 
         live = np.ones(n + 1, dtype=np.float32)
         live[n] = 0.0
         if deleted is not None:
             live[:n] = np.where(deleted[:n], 0.0, 1.0)
 
-        bd = np.full((b + 1, BLOCK), n, dtype=np.int32)
-        bi = np.zeros((b + 1, BLOCK), dtype=np.float32)
-        if b:
-            bd[:b] = seg.block_docids
-            bi[:b] = seg.block_impacts()
+        if with_blocks:
+            docid, impact, csr = seg.flat_impact_postings(
+                global_stats=global_stats
+            )
+            total = docid.size
+            rows = -(-max(total, 1) // BLOCK)
+            pd = np.full(((rows + 1) * BLOCK,), n, dtype=np.int32)
+            pi = np.zeros(((rows + 1) * BLOCK,), dtype=np.float32)
+            pd[:total] = docid
+            pi[:total] = impact
+            pd = pd.reshape(rows + 1, BLOCK)
+            pi = pi.reshape(rows + 1, BLOCK)
+        else:
+            rows = 0
+            csr = None
+            pd = np.full((1, BLOCK), n, dtype=np.int32)
+            pi = np.zeros((1, BLOCK), dtype=np.float32)
 
         def put(x, dtype=None):
             arr = jnp.asarray(x, dtype=dtype)
@@ -75,10 +93,11 @@ class DeviceSegment:
         return cls(
             n_docs=n,
             n_tokens=v,
-            n_blocks=b,
+            n_rows=rows,
             doc_live=put(live),
-            block_docids=put(bd),
-            block_impact=put(bi, imp_dt),
+            post_docid=put(pd),
+            post_impact=put(pi, imp_dt),
+            token_flat_start=csr,
             host=seg,
         )
 

@@ -35,6 +35,19 @@ __all__ = ["ExactEngine", "oracle_scores", "oracle_topk"]
 from ..utils.buckets import bucket_pow2 as _bucket
 
 
+def _span_windows(s: int, e: int):
+    """Row windows covering the flat posting span [s, e): (rows, lane_lo,
+    lane_hi) with 128 lanes per row."""
+    if e <= s:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    r0, r1 = s // BLOCK, (e - 1) // BLOCK
+    rows = np.arange(r0, r1 + 1, dtype=np.int64)
+    lo = np.maximum(s - rows * BLOCK, 0)
+    hi = np.minimum(e - rows * BLOCK, BLOCK)
+    return rows, lo, hi
+
+
 @functools.lru_cache(maxsize=1)
 def _jitted_score_and_topk():
     import jax
@@ -42,22 +55,93 @@ def _jitted_score_and_topk():
     return jax.jit(_score_and_topk, static_argnames=("k", "n_docs"))
 
 
-def _score_and_topk(
-    block_docids,  # [B+1, 128] int32
-    block_impact,  # [B+1, 128] float32 precomputed scores (pad = 0)
+@functools.lru_cache(maxsize=1)
+def _jitted_score_and_topk_compact():
+    import jax
+
+    return jax.jit(
+        _score_and_topk_compact,
+        static_argnames=("k", "n_docs", "range_size"),
+    )
+
+
+def _score_and_topk_compact(
+    post_impact,  # [P] float32/bf16 precomputed scores (pad = 0)
+    post_local,  # [P] uint8 range-relative doc ids
+    tr_range,  # [M+1] int32 (pad slot M: INT_MAX)
+    tr_start,  # [M+2] int32 (slots M, M+1 hold the total: pad len 0)
     doc_live,  # [N+1] float32
-    blk_ids,  # [Q, P] int32 (pad = B)
+    filter_mask,  # [N+1] float32
+    grp_ids,  # [Q, G] int32 per-query (term, range) group ids (pad = M)
+    k: int,
+    n_docs: int,
+    range_size: int,
+):
+    """Exact scoring over the compact 5 B/posting flat arrays.
+
+    Same contract as `_score_and_topk` but reading the range index's
+    impact/local posting streams instead of the padded [B, 128] blocks —
+    the equal-index-memory form (the reference reads bit-packed blocks,
+    search.rs:498-518; we read byte-packed locals + impacts).  Groups are
+    variable-length (<= range_size), gathered as fixed windows with a
+    length mask, so dense terms cost ~1 lane per posting just like the
+    block path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    q, g = grp_ids.shape
+    rs = range_size
+
+    start = tr_start[grp_ids]  # [Q, G]
+    length = tr_start[grp_ids + 1] - start  # contiguous groups
+    rngs = jnp.minimum(tr_range[grp_ids], jnp.int32((n_docs // rs) + 1))
+
+    rs_iota = jax.lax.broadcasted_iota(jnp.int32, (q, g, rs), 2)
+    gidx = start[..., None] + rs_iota  # [Q, G, RS]
+    valid = rs_iota < length[..., None]
+    sc = jnp.where(valid, post_impact[gidx].astype(jnp.float32), 0.0)
+    doc = jnp.where(
+        valid, rngs[..., None] * rs + post_local[gidx].astype(jnp.int32), n_docs
+    )
+
+    def accumulate(docs_q, scores_q):
+        acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
+        return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
+
+    acc = jax.vmap(accumulate)(doc, sc)  # [Q, N+1]
+    # live/filter factors are per-doc, so they distribute over the sum.
+    acc = acc * doc_live[None, :] * filter_mask[None, :]
+    acc = acc[:, :n_docs]
+    masked = jnp.where(acc > 0.0, acc, -jnp.inf)
+    scores, ids = jax.lax.top_k(masked, k)
+    return scores, ids
+
+
+def _score_and_topk(
+    post_docid,  # [R+1, 128] int32 flat postings (pad row R, pad doc N)
+    post_impact,  # [R+1, 128] f32/bf16 precomputed scores (pad = 0)
+    doc_live,  # [N+1] float32
+    win_row,  # [Q, P] int32 posting-row ids (pad = R)
+    win_lo,  # [Q, P] int32 first live lane in the row window
+    win_hi,  # [Q, P] int32 one-past-last live lane
     filter_mask,  # [N+1] float32 (1 keep)
     k: int,
     n_docs: int,
 ):
-    """Impact-eager scoring (BM25S-style): the per-posting score was
-    precomputed at build time, so scoring is gather + segment-sum."""
+    """Impact-eager scoring (BM25S-style) over the zero-padding flat
+    posting stream: each query term's contiguous span is gathered as
+    masked 128-lane row windows (≤ 2 partial rows per term), so the
+    gather moves ~1 lane per posting and the index stores no padding."""
     import jax
     import jax.numpy as jnp
 
-    d = block_docids[blk_ids]  # [Q, P, 128]
-    sc = block_impact[blk_ids].astype(jnp.float32) * doc_live[d]
+    d = post_docid[win_row]  # [Q, P, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 2)
+    valid = (lane >= win_lo[..., None]) & (lane < win_hi[..., None])
+    sc = jnp.where(
+        valid, post_impact[win_row].astype(jnp.float32), 0.0
+    ) * doc_live[d]
 
     def accumulate(docs_q, scores_q):
         acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
@@ -85,41 +169,163 @@ class ExactEngine:
         device=None,
         accumulator_budget: int = 1 << 30,
         impact_dtype: str = "float32",
+        compact: bool = False,
+        share=None,
     ):
+        """compact=True stores postings in the 5 B/posting flat form (the
+        range index's impact/local streams) instead of the padded
+        [B, 128] blocks — equal-index-memory mode.
+
+        share: a BlockMaxEngine over the same segment; its device arrays
+        (postings, range metadata, doc-live mask) are reused so a hybrid
+        engine holds ONE copy of the index in HBM.  Implies compact.
+        """
         self.segment = segment
-        self.dev = DeviceSegment.from_sealed(
-            segment, device=device, impact_dtype=impact_dtype
-        )
         self.accumulator_budget = accumulator_budget
+        self.compact = bool(compact or share is not None)
+        if share is not None:
+            if share.segment is not segment:
+                raise ValueError("share must wrap the same sealed segment")
+            self.dev = share.dev
+            self._ranges = share.ranges
+            self.dev_post_impact = share.dev_post_impact
+            self.dev_post_local = share.dev_post_local
+            self.dev_tr_range = share.dev_tr_range
+            self.dev_tr_start = share.dev_tr_start
+        elif self.compact:
+            import jax
+            import jax.numpy as jnp
+
+            from ..index.ranges import build_range_index
+
+            def put(x, dtype=None):
+                arr = jnp.asarray(x, dtype=dtype)
+                return (
+                    jax.device_put(arr, device) if device is not None else arr
+                )
+
+            self.dev = DeviceSegment.from_sealed(
+                segment, device=device, with_blocks=False
+            )
+            ri = build_range_index(segment)
+            self._ranges = ri
+            int_max = np.int32(np.iinfo(np.int32).max)
+            imp_dt = (
+                jnp.bfloat16 if impact_dtype == "bfloat16" else jnp.float32
+            )
+            self.dev_post_impact = put(ri.post_impact, imp_dt)
+            self.dev_post_local = put(ri.post_local)
+            self.dev_tr_range = put(
+                np.append(ri.tr_range, int_max).astype(np.int32)
+            )
+            total = (
+                int(ri.tr_start[-1] + ri.tr_len[-1]) if ri.tr_len.size else 0
+            )
+            self.dev_tr_start = put(
+                np.append(ri.tr_start, [total, total]).astype(np.int32)
+            )
+        else:
+            self.dev = DeviceSegment.from_sealed(
+                segment, device=device, impact_dtype=impact_dtype
+            )
+            self._ranges = None
 
     def set_deleted(self, deleted: np.ndarray) -> None:
         self.dev.set_deleted(deleted)
 
-    def _prepare(self, queries: Sequence[Query]):
-        """Host-side batch assembly: padded per-query block lists."""
+    def memory_report(self) -> dict:
+        """Device-resident index bytes (the equal-index-memory metric)."""
+        doc_tables = 4 * (self.segment.n_docs + 1)  # doc_live f32
+        if self.compact:
+            ri = self._ranges
+            m1 = ri.tr_range.size + 1
+            range_meta = (4 + 4) * m1 + 4  # tr_range + tr_start(+total)
+            postings = (
+                np.asarray(self.dev_post_impact).nbytes
+                + ri.post_local.nbytes
+            )
+            total = postings + range_meta + doc_tables
+            n_post = max(1, ri.post_local.size - ri.range_size)
+            return {
+                "postings": postings,
+                "range_meta": range_meta,
+                "doc_tables": doc_tables,
+                "total": total,
+                "bytes_per_posting": (postings + range_meta) / n_post,
+            }
+        pd = np.asarray(self.dev.post_docid)
+        pi = np.asarray(self.dev.post_impact)
+        postings = pd.nbytes + pi.nbytes
+        total = postings + doc_tables
+        n_post = max(1, int(self.segment.block_n.sum()))
+        return {
+            "postings": postings,
+            "doc_tables": doc_tables,
+            "total": total,
+            "bytes_per_posting": postings / n_post,
+        }
+
+    def _prepare_compact(self, queries: Sequence[Query]):
+        """Host-side batch assembly: padded per-query group-id lists
+        (CSR slices of the range index, the compact analog of block
+        lists)."""
         seg = self.segment
+        ri = self._ranges
         q = len(queries)
-        starts = seg.token_block_start
-        block_lists = []
+        starts = ri.token_tr_start
+        grp_lists = []
         for query in queries:
             ids = seg.lookup_tokens(query.keys)
             ids = ids[ids >= 0].astype(np.int64)
             if ids.size:
-                los = starts[ids].astype(np.int64)
-                his = starts[ids + 1].astype(np.int64)
-                blocks = np.concatenate(
+                los = starts[ids]
+                his = starts[ids + 1]
+                grps = np.concatenate(
                     [np.arange(lo, hi, dtype=np.int64) for lo, hi in zip(los, his)]
                 )
             else:
-                blocks = np.zeros(0, dtype=np.int64)
-            block_lists.append(blocks)
+                grps = np.zeros(0, dtype=np.int64)
+            grp_lists.append(grps)
 
-        p_max = _bucket(max((x.size for x in block_lists), default=1), 8)
-        blk_ids = np.full((q, p_max), seg.n_blocks, dtype=np.int32)
-        for i, blocks in enumerate(block_lists):
-            if blocks.size:
-                blk_ids[i, : blocks.size] = blocks
-        return blk_ids
+        m_pad = ri.tr_range.size  # the appended pad slot
+        g_max = _bucket(max((x.size for x in grp_lists), default=1), 8)
+        grp_ids = np.full((q, g_max), m_pad, dtype=np.int32)
+        for i, grps in enumerate(grp_lists):
+            if grps.size:
+                grp_ids[i, : grps.size] = grps
+        return grp_ids
+
+    def _prepare(self, queries: Sequence[Query]):
+        """Host-side batch assembly: padded per-query posting-row windows
+        (row id + live-lane bounds) covering each term's flat span."""
+        seg = self.segment
+        q = len(queries)
+        csr = self.dev.token_flat_start
+        win_lists = []
+        for query in queries:
+            ids = seg.lookup_tokens(query.keys)
+            ids = ids[ids >= 0].astype(np.int64)
+            if ids.size:
+                spans = [
+                    _span_windows(int(csr[t]), int(csr[t + 1])) for t in ids
+                ]
+                rows = np.concatenate([s[0] for s in spans])
+                los = np.concatenate([s[1] for s in spans])
+                his = np.concatenate([s[2] for s in spans])
+            else:
+                rows = los = his = np.zeros(0, dtype=np.int64)
+            win_lists.append((rows, los, his))
+
+        p_max = _bucket(max((x[0].size for x in win_lists), default=1), 8)
+        win_row = np.full((q, p_max), self.dev.n_rows, dtype=np.int32)
+        win_lo = np.zeros((q, p_max), dtype=np.int32)
+        win_hi = np.zeros((q, p_max), dtype=np.int32)
+        for i, (rows, los, his) in enumerate(win_lists):
+            if rows.size:
+                win_row[i, : rows.size] = rows
+                win_lo[i, : rows.size] = los
+                win_hi[i, : rows.size] = his
+        return win_row, win_lo, win_hi
 
     def search_async(
         self,
@@ -158,8 +364,6 @@ class ExactEngine:
 
             return finalize_parts
 
-        blk_ids = self._prepare(queries)
-
         if filter_mask is not None:
             fm = np.ones(dev.n_docs + 1, dtype=np.float32)
             fm[: dev.n_docs] = np.asarray(filter_mask, dtype=np.float32)
@@ -168,15 +372,33 @@ class ExactEngine:
             fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
 
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
-        scores_dev, ids_dev = _jitted_score_and_topk()(
-            dev.block_docids,
-            dev.block_impact,
-            dev.doc_live,
-            jnp.asarray(blk_ids),
-            fm_dev,
-            k=kk,
-            n_docs=dev.n_docs,
-        )
+        if self.compact:
+            grp_ids = self._prepare_compact(queries)
+            scores_dev, ids_dev = _jitted_score_and_topk_compact()(
+                self.dev_post_impact,
+                self.dev_post_local,
+                self.dev_tr_range,
+                self.dev_tr_start,
+                dev.doc_live,
+                fm_dev,
+                jnp.asarray(grp_ids),
+                k=kk,
+                n_docs=dev.n_docs,
+                range_size=self._ranges.range_size,
+            )
+        else:
+            win_row, win_lo, win_hi = self._prepare(queries)
+            scores_dev, ids_dev = _jitted_score_and_topk()(
+                dev.post_docid,
+                dev.post_impact,
+                dev.doc_live,
+                jnp.asarray(win_row),
+                jnp.asarray(win_lo),
+                jnp.asarray(win_hi),
+                fm_dev,
+                k=kk,
+                n_docs=dev.n_docs,
+            )
 
         def finalize():
             scores = np.asarray(scores_dev)[:, :k]

@@ -49,7 +49,18 @@ class HybridEngine:
         oneshot_cap: Optional[int] = None,
         device=None,
         use_pallas: Optional[bool] = None,
+        memory_mode: str = "fast",
     ):
+        """memory_mode: "fast" gives the dense strategy its own padded
+        [B, 128] block arrays (posting-aligned gathers: ~1 lane/posting
+        for selective queries); "compact" shares the pruned engine's
+        5 B/posting flat arrays (equal-index-memory mode) at the cost of
+        doc-range-aligned gathers whose fill factor drops on selective
+        terms — measured 60 vs 1477 QPS at 131k docs, so compact is for
+        HBM-constrained deployments only."""
+        if memory_mode not in ("fast", "compact"):
+            raise ValueError(f"unknown memory_mode {memory_mode!r}")
+        self.memory_mode = memory_mode
         self.segment = segment
         self.blockmax = BlockMaxEngine(
             segment,
@@ -79,9 +90,17 @@ class HybridEngine:
     @property
     def exact(self) -> ExactEngine:
         if self._exact is None:
-            self._exact = ExactEngine(self.segment, device=self._device)
-            if self._deleted is not None:
-                self._exact.set_deleted(self._deleted)
+            if self.memory_mode == "compact":
+                # Shares the blockmax engine's device arrays (compact
+                # flat postings + doc-live mask): ONE copy of the index
+                # in HBM — the equal-index-memory mode.
+                self._exact = ExactEngine(
+                    self.segment, device=self._device, share=self.blockmax
+                )
+            else:
+                self._exact = ExactEngine(self.segment, device=self._device)
+                if self._deleted is not None:
+                    self._exact.set_deleted(self._deleted)
         return self._exact
 
     _deleted: Optional[np.ndarray] = None
@@ -89,11 +108,23 @@ class HybridEngine:
     def set_deleted(self, deleted: np.ndarray) -> None:
         self._deleted = np.asarray(deleted, dtype=bool)
         self.blockmax.set_deleted(deleted)
-        if self._exact is not None:
+        if (
+            self._exact is not None
+            and self._exact.dev is not self.blockmax.dev
+        ):
             self._exact.set_deleted(deleted)
 
     def memory_report(self) -> dict:
-        return self.blockmax.memory_report()
+        rep = dict(self.blockmax.memory_report())
+        if self._exact is not None and self._exact.dev is not self.blockmax.dev:
+            extra = self._exact.memory_report()
+            rep["dense_strategy_bytes"] = extra["postings"]
+            rep["total"] += extra["postings"]
+            n_post = max(1, int(self.segment.block_n.sum()))
+            rep["bytes_per_posting"] = (
+                rep["total"] - rep["doc_tables"]
+            ) / n_post
+        return rep
 
     def _route(self, queries: Sequence[Query]) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (strategy [Q] in {0: one-shot, 1: dense, 2: iterative},
