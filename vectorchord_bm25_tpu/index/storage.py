@@ -48,6 +48,8 @@ __all__ = [
     "open_index",
     "save_segment",
     "load_segment",
+    "save_sharded_index",
+    "load_sharded_index",
     "Wal",
 ]
 
@@ -377,17 +379,7 @@ def _write_checkpoint_files(index: Bm25Index, gen_dir: str) -> None:
     save_segment(index.sealed, os.path.join(gen_dir, "sealed.npz"))
     np.save(os.path.join(gen_dir, "deleted.npy"), index.deleted)
     # Growing segment: replay log of (payload, keys, values).
-    with open(os.path.join(gen_dir, "growing.jsonl"), "w") as f:
-        for i, doc in enumerate(index.growing.documents):
-            rec = {
-                "payload": index.growing.payloads[i],
-                "deleted": index.growing.deleted[i],
-                "keys": base64.b64encode(doc.keys.tobytes()).decode(),
-                "values": doc.values.tolist(),
-            }
-            f.write(json.dumps(rec) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    _write_growing_jsonl(index.growing, os.path.join(gen_dir, "growing.jsonl"))
     _fsync_dir(gen_dir)
 
 
@@ -400,7 +392,9 @@ def save_index(index: Bm25Index, directory: str) -> None:
         _save_index_locked(index, directory)
 
 
-def _save_index_locked(index: Bm25Index, directory: str) -> None:
+def _commit_generation(directory: str, write_files) -> None:
+    """Write a fresh generation dir via `write_files(gen_dir)`, commit it
+    with the atomic CURRENT pointer swap, and GC superseded generations."""
     os.makedirs(directory, exist_ok=True)
     current_path = os.path.join(directory, "CURRENT")
     prev_gen = None
@@ -413,9 +407,21 @@ def _save_index_locked(index: Bm25Index, directory: str) -> None:
     gen = f"gen-{n:06d}"
     gen_dir = os.path.join(directory, gen)
     os.makedirs(gen_dir, exist_ok=True)
-    _write_checkpoint_files(index, gen_dir)
+    write_files(gen_dir)
     # Point of no return: the pointer swap commits the new generation.
     _atomic_write(current_path, gen.encode())
+    # GC superseded generations (best effort; stale dirs are harmless).
+    import shutil
+
+    for name in os.listdir(directory):
+        if name.startswith("gen-") and name != gen:
+            shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
+
+
+def _save_index_locked(index: Bm25Index, directory: str) -> None:
+    _commit_generation(
+        directory, lambda gen_dir: _write_checkpoint_files(index, gen_dir)
+    )
     # The WAL only holds post-checkpoint mutations.
     wal = getattr(index, "_wal", None)
     if wal is not None and os.path.dirname(wal.path) == directory:
@@ -424,12 +430,6 @@ def _save_index_locked(index: Bm25Index, directory: str) -> None:
         wal_path = os.path.join(directory, "wal.log")
         if os.path.exists(wal_path):
             _atomic_write(wal_path, b"")
-    # GC superseded generations (best effort; stale dirs are harmless).
-    import shutil
-
-    for name in os.listdir(directory):
-        if name.startswith("gen-") and name != gen:
-            shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
 
 
 def load_index(directory: str) -> Bm25Index:
@@ -463,21 +463,13 @@ def load_index(directory: str) -> Bm25Index:
         engine=meta.get("engine", "blockmax"),
     )
     index.deleted = np.load(os.path.join(base, "deleted.npy"))
-    growing_path = os.path.join(base, "growing.jsonl")
-    if os.path.exists(growing_path):
-        with open(growing_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                keys = np.frombuffer(
-                    base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
-                )
-                doc = Document(
-                    keys=keys.copy(),
-                    values=np.asarray(rec["values"], dtype=np.uint32),
-                )
-                slot = index.growing.insert(doc, rec["payload"])
-                if rec.get("deleted"):
-                    index.growing.deleted[slot] = True
+
+    def mark(slot):
+        index.growing.deleted[slot] = True
+
+    _replay_growing_jsonl(
+        os.path.join(base, "growing.jsonl"), index.growing.insert, mark
+    )
     Wal.replay(os.path.join(directory, "wal.log"), index)
     return index
 
@@ -487,4 +479,139 @@ def open_index(directory: str) -> Bm25Index:
     durable without a full checkpoint (the aminsert/ambulkdelete path)."""
     index = load_index(directory)
     index.attach_wal(Wal(os.path.join(directory, "wal.log")))
+    return index
+
+
+# ----------------------------------------------------------------------
+# Sharded-index persistence (same generation/CURRENT commit protocol).
+# ----------------------------------------------------------------------
+def _write_growing_jsonl(growing, path: str) -> None:
+    with open(path, "w") as f:
+        for i, doc in enumerate(growing.documents):
+            rec = {
+                "payload": growing.payloads[i],
+                "deleted": growing.deleted[i],
+                "keys": base64.b64encode(doc.keys.tobytes()).decode(),
+                "values": doc.values.tolist(),
+            }
+            f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _replay_growing_jsonl(path: str, insert, mark_deleted) -> None:
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            keys = np.frombuffer(
+                base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
+            )
+            doc = Document(
+                keys=keys.copy(),
+                values=np.asarray(rec["values"], dtype=np.uint32),
+            )
+            slot = insert(doc, rec["payload"])
+            if rec.get("deleted"):
+                mark_deleted(slot)
+
+
+def save_sharded_index(index, directory: str) -> None:
+    """Durable checkpoint of a ShardedIndex: one sealed-segment file per
+    shard (reference codec policy), global meta, delete bitmap, and the
+    growing segment — committed atomically via the CURRENT pointer."""
+    with index._rw.read(), index._mutex:
+
+        def write_files(gen_dir: str) -> None:
+            meta = {
+                "magic": MAGIC,
+                "version": VERSION,
+                "kind": "sharded",
+                "seed": base64.b64encode(index.seed).decode(),
+                "options": {"k1": index.options.k1, "b": index.options.b},
+                "search_options": {
+                    "limit": index.search_options.limit,
+                    "prefilter": index.search_options.prefilter,
+                },
+                "engine": index.engine,
+                "axis": index.axis,
+                "n_shards": index.n_shards,
+                "shards": [
+                    {
+                        "n_docs": v.segment.n_docs,
+                        "sum_dl": v.segment.sum_dl,
+                    }
+                    for v in index.views
+                ],
+            }
+            with open(os.path.join(gen_dir, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            for i, view in enumerate(index.views):
+                save_segment(
+                    view.segment, os.path.join(gen_dir, f"shard-{i:03d}.npz")
+                )
+            np.save(os.path.join(gen_dir, "deleted.npy"), index.deleted)
+            _write_growing_jsonl(
+                index.growing, os.path.join(gen_dir, "growing.jsonl")
+            )
+            _fsync_dir(gen_dir)
+
+        _commit_generation(directory, write_files)
+
+
+def load_sharded_index(directory: str, mesh=None):
+    """Load a sharded-index checkpoint onto a mesh (defaults to one shard
+    per available device, like ShardedIndex.build)."""
+    from ..parallel.shard import ShardedIndex
+
+    current_path = os.path.join(directory, "CURRENT")
+    if os.path.exists(current_path):
+        with open(current_path) as f:
+            base = os.path.join(directory, f.read().strip())
+    else:
+        base = directory
+    with open(os.path.join(base, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("magic") != MAGIC or meta.get("version") != VERSION:
+        raise ValueError(
+            f"on-disk index format mismatch (found "
+            f"{meta.get('magic')}/{meta.get('version')}, expected "
+            f"{MAGIC}/{VERSION}); rebuild the index"
+        )
+    if meta.get("kind") != "sharded":
+        raise ValueError(
+            "not a sharded-index checkpoint; use load_index instead"
+        )
+    options = IndexOptions(**meta["options"])
+    shards = [
+        load_segment(
+            os.path.join(base, f"shard-{i:03d}.npz"),
+            options,
+            meta["shards"][i]["n_docs"],
+            meta["shards"][i]["sum_dl"],
+        )
+        for i in range(meta["n_shards"])
+    ]
+    index = ShardedIndex(
+        shards,
+        options,
+        mesh=mesh,
+        axis=meta.get("axis", "d"),
+        engine=meta.get("engine", "exact"),
+        seed=base64.b64decode(meta["seed"]),
+        search_options=SearchOptions(**meta["search_options"]),
+    )
+    deleted = np.load(os.path.join(base, "deleted.npy"))
+    if deleted.any():
+        index.set_deleted(deleted)
+
+    def mark(slot):
+        index.growing.deleted[slot] = True
+
+    _replay_growing_jsonl(
+        os.path.join(base, "growing.jsonl"), index.growing.insert, mark
+    )
     return index

@@ -1,4 +1,5 @@
-"""Multi-chip sharded index: doc-sharded build and search over a jax Mesh.
+"""Multi-chip sharded index: doc-sharded build, search, and mutation
+over a jax Mesh.
 
 The reference's only parallel path is its data-parallel index build over
 Postgres DSM workers (src/index/bm25/am/am_build.rs:353-527) and one
@@ -15,6 +16,14 @@ across devices (SURVEY.md §2.8):
   shard, then the per-shard top-k candidates are all-gathered over the
   mesh axis and merged with a lexicographic (score desc, doc asc) sort —
   the psum-style top-k combine.
+- mutation: the full single-chip surface (insert / bulkdelete / maintain /
+  prefilter / save-load) works over the sharded index too — inserts land
+  in a host growing segment scored with the *global* statistics
+  (insert.rs / search.rs:83-135 semantics), deletes flip a global bitmap
+  consulted at scoring (bulkdelete.rs), and maintain relabels live docs
+  across every shard plus the growing segment and re-splits the corpus
+  into fresh contiguous shards (maintain.rs semantics, with the
+  generation swap re-uploading device arrays).
 
 Device-side collectives ride ICI (all_gather inside shard_map); the host
 only orchestrates.
@@ -22,21 +31,25 @@ only orchestrates.
 
 from __future__ import annotations
 
-import functools
+import threading
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..index.growing import GrowingSegment
 from ..index.sealed import BLOCK, SealedSegment, build_sealed_segment
 from ..models.scoring import ScoreTables, idf
-from ..text.intern import WIDTH, Document, Query
-from ..utils.options import IndexOptions
+from ..text.intern import WIDTH, Document, Query, random_seed
+from ..utils.options import IndexOptions, SearchOptions, SessionConfig
+from ..utils.rwlock import RWLock
 
 __all__ = ["ShardedIndex"]
 
 
 from ..utils.buckets import bucket_pow2 as _bucket
+
+_INT_MAX = np.int32(np.iinfo(np.int32).max)
 
 
 @dataclass
@@ -49,12 +62,48 @@ class _ShardView:
     local_tid: np.ndarray
 
 
+class _GlobalStats:
+    """Sealed-segment-shaped view of the sharded index's global statistics.
+
+    The growing segment scores inserted docs against the *sealed*
+    statistics (search.rs:53-79); for a sharded index those are the
+    merged global (N, Σdl, df) — this adapter exposes exactly the
+    interface GrowingSegment reads.
+    """
+
+    def __init__(self, index: "ShardedIndex"):
+        self._ix = index
+
+    @property
+    def n_docs(self) -> int:
+        return self._ix.n_docs
+
+    @property
+    def sum_dl(self) -> int:
+        return self._ix.sum_dl
+
+    @property
+    def options(self) -> IndexOptions:
+        return self._ix.options
+
+    def lookup_tokens(self, keys: np.ndarray) -> np.ndarray:
+        return self._ix.lookup_tokens(keys)
+
+    def score_tables(self) -> ScoreTables:
+        return self._ix.tables
+
+    def token_s0(self) -> np.ndarray:
+        return self._ix.token_s0
+
+
 class ShardedIndex:
     """Doc-sharded BM25 index over an n-device mesh axis.
 
     Build: corpus split into contiguous shards; each shard is a sealed
     segment; global stats (N, Σdl, df) are merged so scoring matches the
-    single-segment build exactly.
+    single-segment build exactly.  Engines: "exact" (dense block arrays),
+    "blockmax" (pruned flat postings), "hybrid" (per-query routing over
+    one shared set of compact flat arrays).
     """
 
     def __init__(
@@ -64,16 +113,34 @@ class ShardedIndex:
         mesh=None,
         axis: str = "d",
         engine: str = "exact",
+        seed: Optional[bytes] = None,
+        search_options: Optional[SearchOptions] = None,
     ):
+        if engine not in ("exact", "blockmax", "hybrid"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.options = options
+        self.search_options = search_options or SearchOptions()
+        self.axis = axis
+        self.engine = engine
+        self.seed = seed if seed is not None else random_seed()
+        # Concurrency discipline mirrors Bm25Index (the reference's
+        # lock-page protocol): searches/point mutations share the RW
+        # lock, maintain takes it exclusive for the generation swap.
+        self._rw = RWLock()
+        self._mutex = threading.RLock()
+        self._init_from_shards(shards, mesh)
+        self.deleted = np.zeros(self.n_docs, dtype=bool)
+        self._deleted_dirty = False
+        self.growing = GrowingSegment(_GlobalStats(self))
+
+    # ------------------------------------------------------------------
+    def _init_from_shards(self, shards: List[SealedSegment], mesh) -> None:
         import jax
-        import jax.numpy as jnp
         from jax.sharding import Mesh
 
-        self.options = options
-        self.axis = axis
         if mesh is None:
             devs = np.array(jax.devices()[: len(shards)])
-            mesh = Mesh(devs, (axis,))
+            mesh = Mesh(devs, (self.axis,))
         self.mesh = mesh
         self.n_shards = len(shards)
         if self.n_shards != mesh.devices.size:
@@ -85,9 +152,9 @@ class ShardedIndex:
         offsets = np.cumsum([0] + [s.n_docs for s in shards])[:-1]
 
         # Global token table: union of shard vocabularies, df summed.
-        all_keys = np.concatenate([s.token_keys for s in shards]).astype(
-            f"S{WIDTH}"
-        )
+        all_keys = np.concatenate(
+            [s.token_keys for s in shards]
+        ).astype(f"S{WIDTH}")
         self.token_keys = np.unique(all_keys)  # sorted unique
         vg = self.token_keys.size
         self.token_df = np.zeros(vg, dtype=np.int64)
@@ -102,16 +169,28 @@ class ShardedIndex:
             )
 
         self.tables = ScoreTables.create(
-            options.k1, options.b, self.n_docs, self.sum_dl
+            self.options.k1, self.options.b, self.n_docs, self.sum_dl
         )
-        self.token_s0 = idf(self.n_docs, self.token_df) * (options.k1 + 1.0)
+        self.token_s0 = idf(self.n_docs, self.token_df) * (
+            self.options.k1 + 1.0
+        )
 
-        if engine not in ("exact", "blockmax"):
-            raise ValueError(f"unknown engine {engine!r}")
-        self.engine = engine
+        # Shape changes invalidate every jitted sharded function (they
+        # close over nmax/rmax at build time).
+        self._fn_cache = {}
         self._upload()
-        if engine == "blockmax":
+        if self.engine in ("blockmax", "hybrid"):
             self._upload_blockmax()
+
+    def lookup_tokens(self, keys: np.ndarray) -> np.ndarray:
+        """Global token ids for 16-byte keys; missing -> -1."""
+        keys = np.asarray(keys, dtype=f"S{WIDTH}")
+        if self.token_keys.size == 0:
+            return np.full(keys.shape, -1, dtype=np.int64)
+        idxs = np.searchsorted(self.token_keys, keys)
+        idxs = np.minimum(idxs, self.token_keys.size - 1)
+        found = self.token_keys[idxs] == keys
+        return np.where(found, idxs, -1)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -123,26 +202,41 @@ class ShardedIndex:
         options: Optional[IndexOptions] = None,
         mesh=None,
         engine: str = "exact",
+        seed: Optional[bytes] = None,
+        device_build: bool = False,
     ) -> "ShardedIndex":
         """Data-parallel build: contiguous corpus shards, offset-rebased
-        doc ids (io.rs:244-282 analog)."""
+        doc ids (io.rs:244-282 analog).
+
+        device_build=True runs the posting sort and global-stats combine
+        on the device mesh (shard_map + psum; parallel/devbuild.py) — the
+        am_build.rs:353-527 analog; False builds each shard on host.
+        Both produce bit-identical segments.
+        """
         options = options or IndexOptions()
         n = len(documents)
         if payloads is None:
             payloads = np.arange(n, dtype=np.int64)
         payloads = np.asarray(payloads, dtype=np.int64)
         bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
-        shards = []
-        for i in range(n_shards):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            shards.append(
-                build_sealed_segment(
-                    list(documents[lo:hi]),
-                    payloads=payloads[lo:hi],
-                    options=options,
-                )
+        if device_build:
+            from .devbuild import build_shards_on_device
+
+            shards = build_shards_on_device(
+                documents, bounds, payloads, options, mesh=mesh
             )
-        return cls(shards, options, mesh=mesh, engine=engine)
+        else:
+            shards = []
+            for i in range(n_shards):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                shards.append(
+                    build_sealed_segment(
+                        list(documents[lo:hi]),
+                        payloads=payloads[lo:hi],
+                        options=options,
+                    )
+                )
+        return cls(shards, options, mesh=mesh, engine=engine, seed=seed)
 
     # ------------------------------------------------------------------
     def _upload(self):
@@ -159,27 +253,49 @@ class ShardedIndex:
 
         doc_fn = np.zeros((d, nmax + 1), dtype=np.int32)
         doc_live = np.zeros((d, nmax + 1), dtype=np.float32)
-        blk_docs = np.zeros((d, bmax + 1, BLOCK), dtype=np.int32)
-        blk_impact = np.zeros((d, bmax + 1, BLOCK), dtype=np.float32)
         doc_offsets = np.zeros((d, 1), dtype=np.int32)
         n_local = np.zeros((d, 1), dtype=np.int32)
 
+        # Dense engine storage: each shard's flat (token, doc)-ordered
+        # posting stream with global-stats impacts, reshaped to 128-lane
+        # rows (zero padding between terms; see search/device.py).
+        with_blocks = self.engine == "exact"
+        if with_blocks:
+            flats = []
+            rpmax = 1
+            for view in self.views:
+                s = view.segment
+                gid = np.searchsorted(self.token_keys, s.token_keys)
+                docid, impact, csr = s.flat_impact_postings(
+                    global_stats=(
+                        self.n_docs, self.sum_dl, self.token_s0[gid]
+                    )
+                )
+                flats.append((docid, impact, csr))
+                rpmax = max(rpmax, -(-max(docid.size, 1) // BLOCK))
+            self._flat_csr = [f[2] for f in flats]
+            self._rpmax = rpmax
+            post_docid = np.full(
+                (d, rpmax + 1, BLOCK), nmax, dtype=np.int32
+            )
+            post_impact = np.zeros((d, rpmax + 1, BLOCK), dtype=np.float32)
+            for i, (docid, impact, _) in enumerate(flats):
+                t = docid.size
+                pd_flat = post_docid[i].reshape(-1)
+                pi_flat = post_impact[i].reshape(-1)
+                # Local doc ids < n_i stay; pad lanes use the dead slot.
+                pd_flat[:t] = docid
+                pi_flat[:t] = impact
+        else:
+            post_docid = post_impact = None
+            self._flat_csr = None
+            self._rpmax = 0
+
         for i, view in enumerate(self.views):
             s = view.segment
-            n, b = s.n_docs, s.n_blocks
+            n = s.n_docs
             doc_fn[i, :n] = s.doc_fieldnorm
             doc_live[i, :n] = 1.0
-            # pad docs (slots >= n) stay dead; blocks padded with pad-doc n.
-            blk_docs[i, :, :] = nmax  # beyond-local sentinel
-            blk_docs[i, :b] = np.where(
-                s.block_docids < n, s.block_docids, nmax
-            )
-            if b:
-                # Impacts bake in GLOBAL statistics (idf over all shards).
-                gid = np.searchsorted(self.token_keys, s.token_keys)
-                blk_impact[i, :b] = s.block_impacts(
-                    global_stats=(self.n_docs, self.sum_dl, self.token_s0[gid])
-                )
             doc_offsets[i, 0] = view.doc_offset
             n_local[i, 0] = n
 
@@ -194,44 +310,249 @@ class ShardedIndex:
                 x, NamedSharding(self.mesh, P(self.axis, *([None] * (x.ndim - 1))))
             )
 
+        self._shard_put = shard_put
         self._nmax = nmax
         self._bmax = bmax
         self.dev_doc_fn = shard_put(doc_fn)
         self.dev_doc_live = shard_put(doc_live)
-        self.dev_blk_docs = shard_put(blk_docs)
-        self.dev_blk_impact = shard_put(blk_impact)
+        self.dev_post_docid = (
+            shard_put(post_docid) if with_blocks else None
+        )
+        self.dev_post_impact = (
+            shard_put(post_impact) if with_blocks else None
+        )
         self.dev_doc_offsets = shard_put(doc_offsets)
         self.dev_n_local = shard_put(n_local)
         self.dev_s1 = jax.device_put(
             self.tables.s1_table.astype(np.float32)
         )  # replicated
+        self._dev_ones = shard_put(np.ones((d, nmax + 1), dtype=np.float32))
 
     # ------------------------------------------------------------------
-    def set_deleted(self, deleted: np.ndarray) -> None:
-        """Refresh the live mask from a global-doc-id delete bitmap (the
-        bulkdelete analog for the sharded index; consulted at scoring)."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        deleted = np.asarray(deleted, dtype=bool)
-        if deleted.shape != (self.n_docs,):
-            raise ValueError("bitmap must cover all global doc ids")
+    def _shard_doc_array(self, values: np.ndarray, fill=0.0) -> np.ndarray:
+        """Scatter a global per-doc array into the stacked per-shard
+        [d, nmax+1] layout."""
         d = self.n_shards
-        live = np.zeros((d, self._nmax + 1), dtype=np.float32)
+        out = np.full((d, self._nmax + 1), fill, dtype=np.float32)
         for i, view in enumerate(self.views):
             n = view.segment.n_docs
             off = view.doc_offset
-            live[i, :n] = np.where(deleted[off : off + n], 0.0, 1.0)
-        self.dev_doc_live = jax.device_put(
-            live, NamedSharding(self.mesh, P(self.axis, None))
+            out[i, :n] = values[off : off + n]
+        return out
+
+    def _refresh_deleted(self) -> None:
+        live = self._shard_doc_array(
+            np.where(self.deleted, 0.0, 1.0), fill=0.0
         )
+        self.dev_doc_live = self._shard_put(live)
+        self._deleted_dirty = False
+
+    def set_deleted(self, deleted: np.ndarray) -> None:
+        """Refresh the live mask from a global-doc-id delete bitmap (the
+        raw-bitmap bulkdelete path; consulted at scoring)."""
+        deleted = np.asarray(deleted, dtype=bool)
+        if deleted.shape != (self.n_docs,):
+            raise ValueError("bitmap must cover all global doc ids")
+        with self._mutex:
+            self.deleted = deleted.copy()
+            self._refresh_deleted()
+
+    # ------------------------------------------------------------------
+    # Mutations (the aminsert / ambulkdelete / amvacuumcleanup surface).
+    # ------------------------------------------------------------------
+    def insert(self, document: Document, payload: int) -> None:
+        """Append to the growing segment; visible to search immediately,
+        scored with the global sealed statistics (insert.rs analog)."""
+        with self._rw.read(), self._mutex:
+            self.growing.insert(document, payload)
+
+    def bulkdelete(self, predicate: Callable[[int], bool]) -> int:
+        """Mark docs whose payload matches; returns count marked.
+        Vectorized over the global payload array (bulkdelete.rs analog)."""
+        from ..index.bm25index import _eval_predicate
+
+        with self._rw.read(), self._mutex:
+            mask = _eval_predicate(predicate, self.global_payloads)
+            g_mask = _eval_predicate(
+                predicate, np.asarray(self.growing.payloads, dtype=np.int64)
+            )
+            return self._bulkdelete_masks(mask, g_mask)
+
+    def bulkdelete_payloads(self, payloads) -> int:
+        """Delete by explicit payload set (np.isin fast path)."""
+        targets = np.asarray(
+            list(payloads)
+            if not isinstance(payloads, np.ndarray)
+            else payloads,
+            dtype=np.int64,
+        )
+        with self._rw.read(), self._mutex:
+            mask = np.isin(self.global_payloads, targets)
+            g_mask = np.isin(
+                np.asarray(self.growing.payloads, dtype=np.int64), targets
+            )
+            return self._bulkdelete_masks(mask, g_mask)
+
+    def _bulkdelete_masks(self, sealed_mask, growing_mask) -> int:
+        newly = sealed_mask & ~self.deleted
+        count = int(newly.sum())
+        if count:
+            self.deleted |= newly
+            self._deleted_dirty = True
+        return count + self.growing.apply_delete_mask(growing_mask)
+
+    @property
+    def n_live(self) -> int:
+        """Live documents across sealed shards + growing."""
+        return int((~self.deleted).sum()) + self.growing.n_live
+
+    def maintain(self) -> None:
+        """Merge/compaction (maintain.rs semantics, sharded): relabel live
+        docs — sealed shard order then growing insertion order — re-split
+        into fresh contiguous shards, and swap the device generation."""
+        with self._rw.write():
+            self._maintain_locked()
+
+    def _maintain_locked(self) -> None:
+        from ..index.sealed import build_sealed_segment_from_postings
+
+        live = ~self.deleted
+        n_live_sealed = int(live.sum())
+        new_id = np.cumsum(live, dtype=np.int64) - 1  # valid where live
+
+        # Pass A+B: surviving sealed postings from every shard, mapped to
+        # global token ids and relabeled global doc ids.
+        tid_parts, doc_parts, tf_parts = [], [], []
+        for view in self.views:
+            s = view.segment
+            if not (s.n_docs and s.n_blocks):
+                continue
+            tok, doc, tfv = s.postings()
+            gid_map = np.searchsorted(self.token_keys, s.token_keys)
+            gdoc = doc.astype(np.int64) + view.doc_offset
+            keep = live[gdoc]
+            tid_parts.append(gid_map[tok[keep]].astype(np.int64))
+            doc_parts.append(new_id[gdoc[keep]])
+            tf_parts.append(tfv[keep].astype(np.int64))
+        if tid_parts:
+            s_tid = np.concatenate(tid_parts)
+            s_doc = np.concatenate(doc_parts)
+            s_tf = np.concatenate(tf_parts)
+        else:
+            s_tid = np.zeros(0, dtype=np.int64)
+            s_doc = np.zeros(0, dtype=np.int64)
+            s_tf = np.zeros(0, dtype=np.int64)
+        payloads = self.global_payloads[live]
+
+        # Pass C: live growing docs (global vocab union if they add terms).
+        vocab = self.token_keys
+        g_live = [i for i, d in enumerate(self.growing.deleted) if not d]
+        n_new = n_live_sealed + len(g_live)
+        if g_live:
+            g_docs = [self.growing.documents[i] for i in g_live]
+            g_counts = np.fromiter(
+                (len(d) for d in g_docs), dtype=np.int64, count=len(g_docs)
+            )
+            g_keys = (
+                np.concatenate([d.keys for d in g_docs])
+                if int(g_counts.sum())
+                else np.zeros(0, dtype=f"S{WIDTH}")
+            )
+            g_tf = (
+                np.concatenate([d.values for d in g_docs]).astype(np.int64)
+                if int(g_counts.sum())
+                else np.zeros(0, dtype=np.int64)
+            )
+            g_doc = n_live_sealed + np.repeat(
+                np.arange(len(g_live), dtype=np.int64), g_counts
+            )
+            payloads = np.concatenate(
+                [
+                    payloads,
+                    np.asarray(
+                        [self.growing.payloads[i] for i in g_live],
+                        dtype=np.int64,
+                    ),
+                ]
+            )
+            if g_keys.size:
+                vocab = np.union1d(self.token_keys, g_keys)
+                if self.token_keys.size:
+                    s_tid = np.searchsorted(vocab, self.token_keys)[s_tid]
+                g_tid = np.searchsorted(vocab, g_keys)
+                s_tid = np.concatenate([s_tid, g_tid])
+                s_doc = np.concatenate([s_doc, g_doc])
+                s_tf = np.concatenate([s_tf, g_tf])
+
+        # One packed u64 sort restores global (token, doc) order (shard
+        # streams interleave per token).
+        if s_tid.size:
+            packed = (s_tid.astype(np.uint64) << np.uint64(32)) | s_doc.astype(
+                np.uint64
+            )
+            order = np.argsort(packed)
+            s_tid, s_doc, s_tf = s_tid[order], s_doc[order], s_tf[order]
+
+        # Re-split into contiguous shards; per-shard selection of the
+        # (token, doc)-sorted stream stays (token, local doc) sorted.
+        bounds = np.linspace(0, n_new, self.n_shards + 1).astype(np.int64)
+        shards = []
+        for i in range(self.n_shards):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            mask = (s_doc >= lo) & (s_doc < hi)
+            shards.append(
+                build_sealed_segment_from_postings(
+                    None,
+                    s_doc[mask] - lo,
+                    s_tf[mask],
+                    hi - lo,
+                    payloads=payloads[lo:hi],
+                    options=self.options,
+                    presorted=True,
+                    token_ids=s_tid[mask],
+                    vocab_keys=vocab,
+                )
+            )
+        # Atomic generation swap: fresh shards, device arrays, stats.
+        self._init_from_shards(shards, self.mesh)
+        self.deleted = np.zeros(self.n_docs, dtype=bool)
+        self._deleted_dirty = False
+        self.growing = GrowingSegment(_GlobalStats(self))
+
+    # ------------------------------------------------------------------
+    def evaluate(self, document: Document, query: Query) -> float:
+        """Exact BM25 score of one (document, query) pair under the global
+        statistics (evaluate.rs:22-74)."""
+        from ..models.fieldnorm import length_to_fieldnorm
+        from ..models.scoring import tf as tf_fn
+
+        if self.n_docs == 0:
+            return 0.0
+        fieldnorm = int(length_to_fieldnorm(document.length()))
+        avgdl = self.sum_dl / self.n_docs if self.n_docs else 1.0
+        tids = self.lookup_tokens(document.keys)
+        q_tids = set(int(t) for t in self.lookup_tokens(query.keys) if t >= 0)
+        total = 0.0
+        for t, v in zip(tids, document.values):
+            t = int(t)
+            if t < 0 or t not in q_tids:
+                continue
+            total += float(
+                idf(self.n_docs, int(self.token_df[t]))
+                * tf_fn(
+                    fieldnorm, int(v), self.options.k1, self.options.b, avgdl
+                )
+            )
+        return total
+
+    def operator_score(self, document: Document, query: Query) -> float:
+        """The <&> operator: negative BM25 score (operators.rs:54)."""
+        return -self.evaluate(document, query)
 
     # ------------------------------------------------------------------
     def _upload_blockmax(self):
         """Stack per-shard range indexes (padded) for the pruned engine."""
-        import jax
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        import numpy as np
 
         from ..index.ranges import build_range_index
 
@@ -258,12 +579,15 @@ class ShardedIndex:
         self._vmax = vmax
         pmax = max(ri.post_impact.size for ri in ris)
         mmax = max(ri.tr_range.size for ri in ris)
+        self._mmax = mmax
 
         impact = np.zeros((d, pmax), dtype=np.float32)
         local = np.zeros((d, pmax), dtype=np.uint8)
         tr_range = np.full((d, mmax + 1), np.iinfo(np.int32).max, np.int32)
-        tr_start = np.zeros((d, mmax + 1), dtype=np.int32)
-        tr_len = np.zeros((d, mmax + 1), dtype=np.int32)
+        # Group lengths are tr_start diffs (see blockmax.py); every slot
+        # at or past a shard's group count holds its posting total so pad
+        # groups read length 0.
+        tr_start = np.zeros((d, mmax + 2), dtype=np.int32)
         tr_ub = np.zeros((d, mmax + 1), dtype=np.float32)
         csr = np.zeros((d, vmax + 2), dtype=np.int32)
         term_l = np.zeros((d, vmax), dtype=np.int64)
@@ -271,33 +595,63 @@ class ShardedIndex:
         for i, (view, ri) in enumerate(zip(self.views, ris)):
             v = view.segment.n_tokens
             m = ri.tr_range.size
+            total = int(ri.tr_start[-1] + ri.tr_len[-1]) if m else 0
             impact[i, : ri.post_impact.size] = ri.post_impact
             local[i, : ri.post_local.size] = ri.post_local
             tr_range[i, :m] = ri.tr_range
             tr_start[i, :m] = ri.tr_start
-            tr_len[i, :m] = ri.tr_len
+            tr_start[i, m:] = total
             tr_ub[i, :m] = ri.tr_ub
             csr[i, : v + 1] = ri.token_tr_start
             csr[i, v + 1 :] = ri.token_tr_start[v]
             term_l[i, :v] = np.diff(ri.token_tr_start)
         self._term_l_shard = term_l
 
-        def shard_put(x):
-            return jax.device_put(
-                x,
-                NamedSharding(
-                    self.mesh, P(self.axis, *([None] * (x.ndim - 1)))
-                ),
-            )
-
+        shard_put = self._shard_put
         self.dev_bm_impact = shard_put(impact)
         self.dev_bm_local = shard_put(local)
         self.dev_bm_tr_range = shard_put(tr_range)
         self.dev_bm_tr_start = shard_put(tr_start)
-        self.dev_bm_tr_len = shard_put(tr_len)
         self.dev_bm_tr_ub = shard_put(tr_ub)
         self.dev_bm_csr = shard_put(csr)
 
+    def memory_report(self) -> dict:
+        """Device-resident bytes across all shards (the equal-index-memory
+        metric; per-engine breakdown mirrors the single-chip engines)."""
+        import jax.numpy as jnp  # noqa: F401
+
+        doc_tables = 4 * self.n_shards * (self._nmax + 1)  # doc_live
+        postings = 0
+        meta = 0
+        if self.engine in ("blockmax", "hybrid"):
+            postings += int(
+                np.asarray(self.dev_bm_impact).nbytes
+                + np.asarray(self.dev_bm_local).nbytes
+            )
+            meta += int(
+                np.asarray(self.dev_bm_tr_range).nbytes
+                + np.asarray(self.dev_bm_tr_start).nbytes
+                + np.asarray(self.dev_bm_tr_ub).nbytes
+                + np.asarray(self.dev_bm_csr).nbytes
+            )
+        if self.dev_post_docid is not None:
+            postings += int(
+                np.asarray(self.dev_post_docid).nbytes
+                + np.asarray(self.dev_post_impact).nbytes
+            )
+        n_post = max(
+            1, sum(int(v.segment.block_n.sum()) for v in self.views)
+        )
+        total = postings + meta + doc_tables
+        return {
+            "postings": postings,
+            "range_meta": meta,
+            "doc_tables": doc_tables,
+            "total": total,
+            "bytes_per_posting": (postings + meta) / n_post,
+        }
+
+    # ------------------------------------------------------------------
     def _prepare_blockmax(self, queries: Sequence[Query]):
         """Per-shard local term ids for the pruned engine."""
         qn = len(queries)
@@ -324,8 +678,19 @@ class ShardedIndex:
                 q_tid[si, qi, : lids.size] = lids
         return q_tid, _bucket(l_needed, 8)
 
-    @functools.lru_cache(maxsize=8)
+    def _cached_fn(self, key, builder):
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._fn_cache[key] = builder()
+        return fn
+
     def _sharded_blockmax_fn(self, k: int, lmax: int, chunk: int):
+        return self._cached_fn(
+            ("blockmax", k, lmax, chunk),
+            lambda: self._build_blockmax_fn(k, lmax, chunk),
+        )
+
+    def _build_blockmax_fn(self, k: int, lmax: int, chunk: int):
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -340,18 +705,16 @@ class ShardedIndex:
         max_rounds = -(-rmax // chunk) + 1
 
         def local_and_merge(
-            impact, local, tr_range, tr_start, tr_len, tr_ub, csr,
-            doc_live, doc_offset, q_tid_s,
+            impact, local, tr_range, tr_start, tr_ub, csr,
+            doc_live, fmask, doc_offset, q_tid_s,
         ):
-            ones = jnp.ones(nmax + 1, dtype=jnp.float32)
             l_scores, l_ids, _ = _blockmax_kernel(
                 impact[0],
                 local[0],
                 doc_live[0],
-                ones,
+                fmask[0],
                 tr_range[0],
                 tr_start[0],
-                tr_len[0],
                 tr_ub[0],
                 csr[0],
                 q_tid_s[0],
@@ -380,15 +743,15 @@ class ShardedIndex:
             local_and_merge,
             mesh=self.mesh,
             in_specs=(
-                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(axis), P(axis),
             ),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def _search_blockmax(self, queries: Sequence[Query], k: int):
+    def _search_blockmax(self, queries: Sequence[Query], k: int, fmask_dev):
         import jax.numpy as jnp
 
         q_tid, lmax = self._prepare_blockmax(queries)
@@ -402,64 +765,200 @@ class ShardedIndex:
             self.dev_bm_local,
             self.dev_bm_tr_range,
             self.dev_bm_tr_start,
-            self.dev_bm_tr_len,
             self.dev_bm_tr_ub,
             self.dev_bm_csr,
             self.dev_doc_live,
+            fmask_dev,
             self.dev_doc_offsets,
             jnp.asarray(q_tid),
         )
         return scores, gids
 
     # ------------------------------------------------------------------
-    def _prepare(self, queries: Sequence[Query]):
-        """Per-shard padded block lists for a replicated query batch."""
-        q = len(queries)
-        gids = []
-        for query in queries:
-            idxs = np.searchsorted(self.token_keys, query.keys)
-            idxs = np.minimum(idxs, max(self.token_keys.size - 1, 0))
-            if self.token_keys.size:
-                found = self.token_keys[idxs] == query.keys
-                gids.append(idxs[found].astype(np.int64))
-            else:
-                gids.append(np.zeros(0, dtype=np.int64))
+    def _prepare_compact(self, queries: Sequence[Query]):
+        """Per-shard padded (term, range) group-id lists for the compact
+        exact strategy (CSR slices of each shard's range index)."""
+        qn = len(queries)
+        per_shard = []
+        g_needed = 1
+        for si, view in enumerate(self.views):
+            ri = self._range_indexes[si]
+            starts = ri.token_tr_start
+            grps_q = []
+            for query in queries:
+                lids = view.segment.lookup_tokens(query.keys)
+                lids = lids[lids >= 0].astype(np.int64)
+                if lids.size:
+                    los = starts[lids]
+                    his = starts[lids + 1]
+                    grps = np.concatenate(
+                        [
+                            np.arange(lo, hi, dtype=np.int64)
+                            for lo, hi in zip(los, his)
+                        ]
+                    )
+                else:
+                    grps = np.zeros(0, dtype=np.int64)
+                grps_q.append(grps)
+                g_needed = max(g_needed, grps.size)
+            per_shard.append(grps_q)
+        g_max = _bucket(g_needed, 8)
+        # Pad slot mmax: tr_start[mmax+1] - tr_start[mmax] = 0 per shard.
+        grp_ids = np.full(
+            (self.n_shards, qn, g_max), self._mmax, dtype=np.int32
+        )
+        for si, grps_q in enumerate(per_shard):
+            for qi, grps in enumerate(grps_q):
+                if grps.size:
+                    grp_ids[si, qi, : grps.size] = grps
+        return grp_ids
 
-        # Per-shard block lists referencing each shard's local blocks
-        # (impact-eager scoring: no per-term tables needed).
-        per_shard_blocks = []
+    def _sharded_compact_fn(self, k: int):
+        return self._cached_fn(
+            ("compact", k), lambda: self._build_compact_fn(k)
+        )
+
+    def _build_compact_fn(self, k: int):
+        """Exact scoring over the compact flat postings: window gathers +
+        dense per-shard accumulator + all_gather merge (the sharded analog
+        of exact.py's _score_and_topk_compact)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.axis
+        nmax = self._nmax
+        rs = self._rs
+        rmax = self._rmax
+
+        def local_and_merge(
+            impact, local, tr_range, tr_start,
+            doc_live, fmask, doc_offset, grp_ids_s,
+        ):
+            gi = grp_ids_s[0]  # [Q, G]
+            q, g = gi.shape
+            start = tr_start[0][gi]
+            length = tr_start[0][gi + 1] - start
+            rngs = jnp.minimum(tr_range[0][gi], jnp.int32(rmax))
+            rs_iota = jax.lax.broadcasted_iota(jnp.int32, (q, g, rs), 2)
+            gidx = start[..., None] + rs_iota
+            valid = rs_iota < length[..., None]
+            sc = jnp.where(valid, impact[0][gidx], 0.0)
+            doc = jnp.where(
+                valid,
+                rngs[..., None] * rs + local[0][gidx].astype(jnp.int32),
+                nmax,
+            )
+            doc = jnp.minimum(doc, nmax)
+
+            def accumulate(docs_q, scores_q):
+                acc = jnp.zeros(nmax + 1, dtype=jnp.float32)
+                return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
+
+            acc = jax.vmap(accumulate)(doc, sc)
+            acc = acc * doc_live[0][None, :] * fmask[0][None, :]
+            acc = acc[:, :nmax]
+            masked = jnp.where(acc > 0.0, acc, -jnp.inf)
+            if k > nmax:
+                masked = jnp.pad(
+                    masked, ((0, 0), (0, k - nmax)),
+                    constant_values=-jnp.inf,
+                )
+            l_scores, l_ids = jax.lax.top_k(masked, k)
+            invalid = jnp.int32(np.iinfo(np.int32).max)
+            g_ids = jnp.where(
+                jnp.isfinite(l_scores),
+                l_ids.astype(jnp.int32) + doc_offset[0, 0],
+                invalid,
+            )
+            a_scores = jax.lax.all_gather(l_scores, axis)
+            a_ids = jax.lax.all_gather(g_ids, axis)
+            dd = a_scores.shape[0]
+            c_scores = jnp.moveaxis(a_scores, 0, 1).reshape(-1, dd * k)
+            c_ids = jnp.moveaxis(a_ids, 0, 1).reshape(-1, dd * k)
+            neg, gid_s = jax.lax.sort((-c_scores, c_ids), num_keys=2)
+            return -neg[:, :k], gid_s[:, :k]
+
+        fn = shard_map(
+            local_and_merge,
+            mesh=self.mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(axis),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _search_compact(self, queries: Sequence[Query], k: int, fmask_dev):
+        import jax.numpy as jnp
+
+        grp_ids = self._prepare_compact(queries)
+        kk = _bucket(k, 1)
+        return self._sharded_compact_fn(kk)(
+            self.dev_bm_impact,
+            self.dev_bm_local,
+            self.dev_bm_tr_range,
+            self.dev_bm_tr_start,
+            self.dev_doc_live,
+            fmask_dev,
+            self.dev_doc_offsets,
+            jnp.asarray(grp_ids),
+        )
+
+    # ------------------------------------------------------------------
+    def _prepare(self, queries: Sequence[Query]):
+        """Per-shard padded posting-row windows for a replicated query
+        batch (dense exact engine; see search/exact.py's _prepare)."""
+        from ..search.exact import _span_windows
+
+        q = len(queries)
+        gids = [self.lookup_tokens(query.keys) for query in queries]
+
+        per_shard = []
         p_needed = 1
-        for view in self.views:
-            s = view.segment
-            starts = s.token_block_start
-            blocks_q = []
+        for si, view in enumerate(self.views):
+            csr = self._flat_csr[si]
+            wins_q = []
             for g in gids:
+                g = g[g >= 0]
                 lids = view.local_tid[g] if g.size else np.zeros(0, dtype=np.int64)
                 lids = lids[lids >= 0]
                 if lids.size:
-                    los = starts[lids].astype(np.int64)
-                    his = starts[lids + 1].astype(np.int64)
-                    blocks = np.concatenate(
-                        [np.arange(lo, hi) for lo, hi in zip(los, his)]
-                    )
+                    spans = [
+                        _span_windows(int(csr[t]), int(csr[t + 1]))
+                        for t in lids
+                    ]
+                    rows = np.concatenate([s[0] for s in spans])
+                    los = np.concatenate([s[1] for s in spans])
+                    his = np.concatenate([s[2] for s in spans])
                 else:
-                    blocks = np.zeros(0, dtype=np.int64)
-                blocks_q.append(blocks)
-                p_needed = max(p_needed, blocks.size)
-            per_shard_blocks.append(blocks_q)
+                    rows = los = his = np.zeros(0, dtype=np.int64)
+                wins_q.append((rows, los, his))
+                p_needed = max(p_needed, rows.size)
+            per_shard.append(wins_q)
 
         p_max = _bucket(p_needed, 8)
-        blk_ids = np.full((self.n_shards, q, p_max), self._bmax, dtype=np.int32)
+        shape = (self.n_shards, q, p_max)
+        win_row = np.full(shape, self._rpmax, dtype=np.int32)
+        win_lo = np.zeros(shape, dtype=np.int32)
+        win_hi = np.zeros(shape, dtype=np.int32)
         for si in range(self.n_shards):
             for qi in range(q):
-                blocks = per_shard_blocks[si][qi]
-                if blocks.size:
-                    blk_ids[si, qi, : blocks.size] = blocks
-        return blk_ids
+                rows, los, his = per_shard[si][qi]
+                if rows.size:
+                    win_row[si, qi, : rows.size] = rows
+                    win_lo[si, qi, : rows.size] = los
+                    win_hi[si, qi, : rows.size] = his
+        return win_row, win_lo, win_hi
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=8)
     def _sharded_search_fn(self, k: int):
+        return self._cached_fn(("exact", k), lambda: self._build_exact_fn(k))
+
+    def _build_exact_fn(self, k: int):
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -469,16 +968,26 @@ class ShardedIndex:
         nmax = self._nmax
 
         def local_and_merge(
-            blk_docs,  # [1, Bm+1, 128]
-            blk_impact,  # [1, Bm+1, 128] global-stats impacts
+            post_docid,  # [1, R+1, 128] flat postings
+            post_impact,  # [1, R+1, 128] global-stats impacts
             doc_live,  # [1, Nm+1]
+            fmask,  # [1, Nm+1]
             doc_offset,  # [1, 1]
-            blk_ids_s,  # [1, Q, P] per-shard local block ids
+            win_row_s,  # [1, Q, P] per-shard posting-row windows
+            win_lo_s,  # [1, Q, P]
+            win_hi_s,  # [1, Q, P]
         ):
-            blk_ids = blk_ids_s[0]
-            bd = blk_docs[0]
-            d = bd[blk_ids]  # [Q, P, 128]
-            sc = blk_impact[0][blk_ids] * doc_live[0][d]
+            win_row = win_row_s[0]
+            d = post_docid[0][win_row]  # [Q, P, 128]
+            lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 2)
+            valid = (lane >= win_lo_s[0][..., None]) & (
+                lane < win_hi_s[0][..., None]
+            )
+            sc = (
+                jnp.where(valid, post_impact[0][win_row], 0.0)
+                * doc_live[0][d]
+                * fmask[0][d]
+            )
 
             def accumulate(docs_q, scores_q):
                 acc = jnp.zeros(nmax + 1, dtype=jnp.float32)
@@ -515,33 +1024,120 @@ class ShardedIndex:
         fn = shard_map(
             local_and_merge,
             mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=tuple(P(axis) for _ in range(8)),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def search(
-        self, queries: Sequence[Query], k: int
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Batched top-k over all shards; returns (scores, global doc ids,
-        payloads) with the pinned (score desc, doc asc) tie rule."""
+    # ------------------------------------------------------------------
+    def _route(self, queries: Sequence[Query]) -> np.ndarray:
+        """Hybrid strategy per query: 1 = compact full scan (selective),
+        2 = iterative pruned (df-heavy) — mirrors HybridEngine's router."""
+        df_budget = max(1.0, 0.10 * max(self.n_docs, 1))
+        strategy = np.ones(len(queries), dtype=np.int8)
+        for i, query in enumerate(queries):
+            ids = self.lookup_tokens(query.keys)
+            ids = ids[ids >= 0]
+            df = int(self.token_df[ids].sum()) if ids.size else 0
+            if df > df_budget:
+                strategy[i] = 2
+        return strategy
+
+    def _device_search(self, queries, k, fmask_dev):
+        """Top-k over the sealed shards only (device path)."""
         import jax.numpy as jnp
 
+        if self.engine == "blockmax":
+            return self._search_blockmax(queries, k, fmask_dev)
+        if self.engine == "exact":
+            win_row, win_lo, win_hi = self._prepare(queries)
+            kk = _bucket(k, 1)
+            return self._sharded_search_fn(kk)(
+                self.dev_post_docid,
+                self.dev_post_impact,
+                self.dev_doc_live,
+                fmask_dev,
+                self.dev_doc_offsets,
+                jnp.asarray(win_row),
+                jnp.asarray(win_lo),
+                jnp.asarray(win_hi),
+            )
+        # Hybrid: route per query, dispatch each group, reassemble.
+        strategy = self._route(queries)
+        qn = len(queries)
+        scores = np.full((qn, k), -np.inf, dtype=np.float32)
+        gids = np.full((qn, k), np.iinfo(np.int32).max, dtype=np.int64)
+        for strat, fn in (
+            (1, self._search_compact),
+            (2, self._search_blockmax),
+        ):
+            idx = np.flatnonzero(strategy == strat)
+            if idx.size:
+                s, i = fn([queries[j] for j in idx], k, fmask_dev)
+                scores[idx] = np.asarray(s)[:, :k]
+                gids[idx] = np.asarray(i)[:, :k]
+        return scores, gids
+
+    def search(
+        self,
+        queries: Sequence[Query],
+        k: Optional[int] = None,
+        filter_fn: Optional[Callable[[int], bool]] = None,
+        session: Optional[SessionConfig] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched top-k over all shards + the growing segment; returns
+        (scores, global doc ids, payloads) with the pinned
+        (score desc, doc asc) tie rule.
+
+        filter_fn: payload predicate.  With prefilter enabled it is
+        evaluated inside device retrieval (honest top-k threshold);
+        otherwise it post-filters the k results.  k=-1 or
+        session.enable_scan=False take the brute-force path.
+        """
+        sess = session or SessionConfig()
+        if k is None:
+            k = sess.resolve_limit(self.search_options)
+        if not sess.enable_scan or k == -1:
+            if k == 0:
+                raise ValueError("number of needed rows is set to 0")
+            return self._search_all(queries, k, filter_fn)
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
-        if self.engine == "blockmax":
-            scores, gids = self._search_blockmax(queries, k)
-        else:
-            blk_ids = self._prepare(queries)
-            kk = _bucket(k, 1)
-            scores, gids = self._sharded_search_fn(kk)(
-                self.dev_blk_docs,
-                self.dev_blk_impact,
-                self.dev_doc_live,
-                self.dev_doc_offsets,
-                jnp.asarray(blk_ids),
+        if filter_fn is not None and not sess.resolve_prefilter(
+            self.search_options
+        ):
+            # Post-filter mode: retrieve unfiltered, filter the results.
+            scores, gids, payloads = self.search(queries, k=k, session=session)
+            from ..index.bm25index import _eval_predicate
+
+            keep = (gids >= 0) & _eval_predicate(
+                filter_fn, payloads.reshape(-1)
+            ).reshape(payloads.shape)
+            return (
+                np.where(keep, scores, -np.inf),
+                np.where(keep, gids, -1),
+                np.where(keep, payloads, -1),
             )
+        with self._rw.read():
+            return self._search_locked(queries, k, filter_fn)
+
+    def _search_locked(self, queries, k, filter_fn):
+        with self._mutex:
+            if self._deleted_dirty:
+                self._refresh_deleted()
+
+        if filter_fn is not None:
+            from ..index.bm25index import _eval_predicate
+
+            fkeep = _eval_predicate(filter_fn, self.global_payloads)
+            fmask_dev = self._shard_put(
+                self._shard_doc_array(fkeep.astype(np.float32), fill=0.0)
+            )
+        else:
+            fmask_dev = self._dev_ones
+
+        scores, gids = self._device_search(queries, k, fmask_dev)
         scores = np.asarray(scores)[:, :k]
         gids = np.asarray(gids, dtype=np.int64)[:, :k]
         valid = np.isfinite(scores) & (scores > 0) & (gids < self.n_docs)
@@ -549,40 +1145,147 @@ class ShardedIndex:
         payloads = np.where(
             valid, self.global_payloads[np.maximum(gids, 0)], -1
         )
-        return np.where(valid, scores, -np.inf), gids, payloads
+        scores = np.where(valid, scores, -np.inf)
+
+        # Merge growing-segment hits per query (host brute force, global
+        # stats; growing global ids follow the sealed doc space).
+        if len(self.growing):
+            g_base = self.n_docs
+            for qi, query in enumerate(queries):
+                g_scores, g_payloads = self.growing.score(
+                    query, filter_fn=filter_fn
+                )
+                hits = [
+                    (float(scores[qi, j]), int(gids[qi, j]), int(payloads[qi, j]))
+                    for j in range(k)
+                    if gids[qi, j] >= 0
+                ]
+                hits += [
+                    (float(s), g_base + i, int(p))
+                    for i, (s, p) in enumerate(zip(g_scores, g_payloads))
+                    if s > 0.0
+                ]
+                hits.sort(key=lambda t: (-t[0], t[1]))
+                hits = hits[:k]
+                scores[qi] = -np.inf
+                gids[qi] = -1
+                payloads[qi] = -1
+                for j, (s, g, p) in enumerate(hits):
+                    scores[qi, j], gids[qi, j], payloads[qi, j] = s, g, p
+        return scores, gids, payloads
+
+    # ------------------------------------------------------------------
+    def _oracle_scores_global(self, query: Query) -> np.ndarray:
+        """Dense global-doc scores on host (global stats) — the sharded
+        brute-force path (0.2.x bm25_limit = -1 / enable_scan = off)."""
+        acc = np.zeros(self.n_docs, dtype=np.float64)
+        g_tids = self.lookup_tokens(query.keys)
+        g_tids = g_tids[g_tids >= 0]
+        for view in self.views:
+            seg = view.segment
+            if not seg.n_docs:
+                continue
+            lids = view.local_tid[g_tids] if g_tids.size else np.zeros(0, np.int64)
+            for gt, lt in zip(g_tids, lids):
+                if lt < 0:
+                    continue
+                lo = int(seg.token_block_start[lt])
+                hi = int(seg.token_block_start[lt + 1])
+                docs = seg.block_docids[lo:hi].reshape(-1)
+                tfs = seg.block_tfs[lo:hi].reshape(-1)
+                mask = docs < seg.n_docs
+                docs, tfs = docs[mask], tfs[mask]
+                fn = seg.doc_fieldnorm[docs].astype(np.int64)
+                t = tfs.astype(np.float64)
+                s1 = self.tables.s1_table[fn]
+                acc[view.doc_offset + docs] += (
+                    t * self.token_s0[gt]
+                ) / (t + s1)
+        acc[self.deleted] = 0.0
+        return acc
+
+    def _search_all(self, queries, k, filter_fn):
+        """Brute force: every matching doc (score > 0), best first."""
+        from ..index.bm25index import _eval_predicate
+
+        qn = len(queries)
+        fkeep = (
+            _eval_predicate(filter_fn, self.global_payloads)
+            if filter_fn is not None
+            else None
+        )
+        out_s, out_g, out_p = [], [], []
+        for query in queries:
+            scores = self._oracle_scores_global(query)
+            if fkeep is not None:
+                scores = np.where(fkeep, scores, 0.0)
+            hits = [
+                (float(scores[g]), int(g), int(self.global_payloads[g]))
+                for g in np.flatnonzero(scores > 0)
+            ]
+            g_scores, g_payloads = self.growing.score(
+                query, filter_fn=filter_fn
+            )
+            hits += [
+                (float(s), self.n_docs + i, int(p))
+                for i, (s, p) in enumerate(zip(g_scores, g_payloads))
+                if s > 0.0
+            ]
+            hits.sort(key=lambda t: (-t[0], t[1]))
+            if k != -1:
+                hits = hits[:k]
+            out_s.append([h[0] for h in hits])
+            out_g.append([h[1] for h in hits])
+            out_p.append([h[2] for h in hits])
+        width = max((len(x) for x in out_s), default=0)
+        scores = np.full((qn, width), -np.inf, dtype=np.float32)
+        gids = np.full((qn, width), -1, dtype=np.int64)
+        payloads = np.full((qn, width), -1, dtype=np.int64)
+        for qi in range(qn):
+            m = len(out_s[qi])
+            scores[qi, :m] = out_s[qi]
+            gids[qi, :m] = out_g[qi]
+            payloads[qi, :m] = out_p[qi]
+        return scores, gids, payloads
 
     # ------------------------------------------------------------------
     def global_stats_step(self):
         """Device-side build step: psum-combine per-shard (N, Σdl) over the
         mesh (the DSM shared-stats analog) and return (N, Σdl, avgdl)."""
         import jax
-        import jax.numpy as jnp
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = self.axis
 
-        def step(n_local, doc_fn, doc_live):
-            from ..models.fieldnorm import FIELDNORM_TO_LENGTH
+        def build():
+            import jax.numpy as jnp
 
-            table = jnp.asarray(FIELDNORM_TO_LENGTH.astype(np.float64))
-            # float64 under enable_x64: exact for lengths < 2^53.
-            lengths = table[doc_fn[0]] * doc_live[0].astype(table.dtype)
-            local_sum = jnp.sum(lengths)
-            local_n = n_local[0, 0].astype(jnp.int32)
-            total_n = jax.lax.psum(local_n, axis)
-            total_dl = jax.lax.psum(local_sum, axis)
-            return total_n, total_dl
+            def step(n_local, doc_fn, doc_live):
+                from ..models.fieldnorm import FIELDNORM_TO_LENGTH
 
-        fn = shard_map(
-            step,
-            mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
+                table = jnp.asarray(FIELDNORM_TO_LENGTH.astype(np.float64))
+                # float64 under enable_x64: exact for lengths < 2^53.
+                lengths = table[doc_fn[0]] * doc_live[0].astype(table.dtype)
+                local_sum = jnp.sum(lengths)
+                local_n = n_local[0, 0].astype(jnp.int32)
+                total_n = jax.lax.psum(local_n, axis)
+                total_dl = jax.lax.psum(local_sum, axis)
+                return total_n, total_dl
+
+            return jax.jit(
+                shard_map(
+                    step,
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis)),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+            )
+
+        fn = self._cached_fn(("stats",), build)
         with jax.enable_x64(True):
-            n, sdl = jax.jit(fn)(
+            n, sdl = fn(
                 self.dev_n_local, self.dev_doc_fn, self.dev_doc_live
             )
             n, sdl = int(n), int(sdl)
