@@ -279,19 +279,39 @@ def main():
 
     from vectorchord_bm25_tpu.search.exact import oracle_topk
 
+    from vectorchord_bm25_tpu.search.exact import oracle_scores
+
     hits = 0
     total = 0
+    tie_swaps = 0
     for batch in batches:
         _, ids_s, _ = engine.search(batch, args.k)
         for qi, query in enumerate(batch):
-            _, o_ids = oracle_topk(seg, query, args.k, dtype=np.float64)
+            o_scores, o_ids = oracle_topk(
+                seg, query, args.k, dtype=np.float64
+            )
             got = set(int(x) for x in ids_s[qi] if x >= 0)
-            hits += len(got & set(int(x) for x in o_ids))
+            matched = got & set(int(x) for x in o_ids)
+            missing = [int(x) for x in o_ids if int(x) not in got]
+            if missing:
+                # A k-boundary doc whose float64 score TIES the kth score
+                # within float32 resolution may legitimately swap with an
+                # equal-scored doc outside the oracle's top-k (the engine
+                # scores in f32; accumulation order differs on TPU) —
+                # count these separately from real misses.
+                sc = oracle_scores(seg, query, dtype=np.float64)
+                kth = float(o_scores[-1]) if o_scores.size else 0.0
+                for d in missing:
+                    if abs(sc[d] - kth) <= 1e-6 * abs(kth):
+                        tie_swaps += 1
+                        matched.add(d)
+            hits += len(matched)
             total += len(o_ids)
     recall = hits / total if total else 1.0
     print(
         f"recall@{args.k} vs exhaustive oracle ({total} hits over "
-        f"{sum(len(b) for b in batches)} queries): {recall:.4f}",
+        f"{sum(len(b) for b in batches)} queries): {recall:.4f} "
+        f"({tie_swaps} f32-resolution boundary-tie swaps excused)",
         file=_sys.stderr,
     )
 

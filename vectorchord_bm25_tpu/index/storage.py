@@ -50,6 +50,7 @@ __all__ = [
     "load_segment",
     "save_sharded_index",
     "load_sharded_index",
+    "open_sharded_index",
     "Wal",
 ]
 
@@ -560,6 +561,61 @@ def save_sharded_index(index, directory: str) -> None:
             _fsync_dir(gen_dir)
 
         _commit_generation(directory, write_files)
+        # The WAL only holds post-checkpoint mutations.
+        wal = getattr(index, "_wal", None)
+        if wal is not None and os.path.dirname(wal.path) == directory:
+            wal.reset()
+        else:
+            wal_path = os.path.join(directory, "wal.log")
+            if os.path.exists(wal_path):
+                _atomic_write(wal_path, b"")
+
+
+def _replay_wal_sharded(path: str, index) -> int:
+    """Apply logged mutations to a freshly loaded sharded checkpoint
+    (same record format as Wal.replay; sharded delete-bitmap plumbing)."""
+    applied = 0
+    if not os.path.exists(path):
+        return applied
+    with open(path, "rb") as f:
+        for line in f:
+            if not line.endswith(b"\n"):
+                break  # torn tail from a crash mid-append
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                break
+            op = rec.get("op")
+            if op == "insert":
+                keys = np.frombuffer(
+                    base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
+                )
+                doc = Document(
+                    keys=keys.copy(),
+                    values=np.asarray(rec["values"], dtype=np.uint32),
+                )
+                index.growing.insert(doc, int(rec["payload"]))
+            elif op == "delete":
+                sealed = np.asarray(rec["sealed"], dtype=np.int64)
+                if sealed.size:
+                    index.deleted[sealed] = True
+                    index._deleted_dirty = True
+                for slot in rec["growing"]:
+                    index.growing.deleted[slot] = True
+            elif op == "maintain":
+                index._maintain_locked()
+            else:  # unknown op from a future version
+                raise ValueError(f"unknown WAL op {op!r}; rebuild the index")
+            applied += 1
+    return applied
+
+
+def open_sharded_index(directory: str, mesh=None):
+    """Load a sharded index, replay its WAL, and attach it so subsequent
+    mutations are durable without a full checkpoint."""
+    index = load_sharded_index(directory, mesh=mesh)
+    index.attach_wal(Wal(os.path.join(directory, "wal.log")))
+    return index
 
 
 def load_sharded_index(directory: str, mesh=None):
@@ -614,4 +670,5 @@ def load_sharded_index(directory: str, mesh=None):
     _replay_growing_jsonl(
         os.path.join(base, "growing.jsonl"), index.growing.insert, mark
     )
+    _replay_wal_sharded(os.path.join(directory, "wal.log"), index)
     return index

@@ -132,6 +132,13 @@ class ShardedIndex:
         self.deleted = np.zeros(self.n_docs, dtype=bool)
         self._deleted_dirty = False
         self.growing = GrowingSegment(_GlobalStats(self))
+        # Optional write-ahead log (storage.Wal): mutations are fsynced
+        # before acknowledgement (the GenericXLog analog), replayed by
+        # open_sharded_index after a crash.
+        self._wal = None
+
+    def attach_wal(self, wal) -> None:
+        self._wal = wal
 
     # ------------------------------------------------------------------
     def _init_from_shards(self, shards: List[SealedSegment], mesh) -> None:
@@ -365,6 +372,19 @@ class ShardedIndex:
         scored with the global sealed statistics (insert.rs analog)."""
         with self._rw.read(), self._mutex:
             self.growing.insert(document, payload)
+            if self._wal is not None:
+                import base64
+
+                self._wal.append(
+                    {
+                        "op": "insert",
+                        "payload": int(payload),
+                        "keys": base64.b64encode(
+                            document.keys.tobytes()
+                        ).decode(),
+                        "values": document.values.tolist(),
+                    }
+                )
 
     def bulkdelete(self, predicate: Callable[[int], bool]) -> int:
         """Mark docs whose payload matches; returns count marked.
@@ -399,7 +419,22 @@ class ShardedIndex:
         if count:
             self.deleted |= newly
             self._deleted_dirty = True
-        return count + self.growing.apply_delete_mask(growing_mask)
+        g_dead = np.asarray(self.growing.deleted, dtype=bool)
+        g_newly = (
+            growing_mask & ~g_dead
+            if g_dead.size
+            else np.zeros(0, dtype=bool)
+        )
+        total = count + self.growing.apply_delete_mask(g_newly)
+        if total and self._wal is not None:
+            self._wal.append(
+                {
+                    "op": "delete",
+                    "sealed": np.flatnonzero(newly).tolist(),
+                    "growing": np.flatnonzero(g_newly).tolist(),
+                }
+            )
+        return total
 
     @property
     def n_live(self) -> int:
@@ -412,6 +447,8 @@ class ShardedIndex:
         into fresh contiguous shards, and swap the device generation."""
         with self._rw.write():
             self._maintain_locked()
+            if self._wal is not None:
+                self._wal.append({"op": "maintain"})
 
     def _maintain_locked(self) -> None:
         from ..index.sealed import build_sealed_segment_from_postings
