@@ -208,6 +208,13 @@ def main():
     )
     parser.add_argument("--chunk", type=int, default=None)
     parser.add_argument(
+        "--posting-mode",
+        choices=["impact", "tf"],
+        default="impact",
+        help="tf = 2 B/posting lossless equal-index-memory form "
+        "(blockmax/hybrid engines)",
+    )
+    parser.add_argument(
         "--dataset",
         default=None,
         help="BEIR dataset dir, or synthetic:scifact / synthetic:scifact-mini",
@@ -236,9 +243,13 @@ def main():
         keys, doc_ids, tfs, args.docs, doc_grouped=True
     )
     if args.engine == "blockmax":
-        engine = BlockMaxEngine(seg, chunk=args.chunk)
+        engine = BlockMaxEngine(
+            seg, chunk=args.chunk, posting_mode=args.posting_mode
+        )
     elif args.engine == "hybrid":
-        engine = HybridEngine(seg, chunk=args.chunk)
+        engine = HybridEngine(
+            seg, chunk=args.chunk, posting_mode=args.posting_mode
+        )
     else:
         engine = ExactEngine(seg)
     queries = synth_queries_fast(keys, doc_start, seg, args.queries)

@@ -150,3 +150,83 @@ class TestBlockMaxEngine:
         g1, g2 = i1[0][i1[0] >= 0], i2[0][i2[0] >= 0]
         assert len(g1) == len(g2)
         rank_match(g2, g1, s2_[0][: len(g2)], s1_[0][: len(g1)])
+
+
+class TestTfPostingMode:
+    """posting_mode="tf": 2 B/posting lossless form — impacts rebuilt on
+    device from (tf, fieldnorm), matching the reference's per-posting
+    Cache.evaluate (bm25.rs:334-359)."""
+
+    @pytest.mark.parametrize("n_docs,vocab", [(300, 20), (500, 8)])
+    def test_matches_impact_mode(self, rng, n_docs, vocab):
+        docs = make_docs(rng, n_docs, vocab=vocab)
+        seg = build_sealed_segment(docs)
+        imp = BlockMaxEngine(seg, chunk=4)
+        tfm = BlockMaxEngine(seg, chunk=4, posting_mode="tf")
+        queries = [
+            Query.from_int_ids(rng.integers(0, vocab, size=3).tolist())
+            for _ in range(6)
+        ]
+        for k in (1, 10):
+            s1_, i1, _ = imp.search(queries, k)
+            s2_, i2, _ = tfm.search(queries, k)
+            for qi in range(len(queries)):
+                g1 = i1[qi][i1[qi] >= 0]
+                g2 = i2[qi][i2[qi] >= 0]
+                assert len(g1) == len(g2), f"q{qi} k={k}"
+                rank_match(g2, g1, s2_[qi][: len(g2)], s1_[qi][: len(g1)])
+                np.testing.assert_allclose(
+                    s2_[qi][: len(g2)], s1_[qi][: len(g1)], rtol=1e-5
+                )
+
+    def test_deletes_and_filters(self, rng):
+        docs = make_docs(rng, 200, vocab=10)
+        seg = build_sealed_segment(docs)
+        imp = BlockMaxEngine(seg)
+        tfm = BlockMaxEngine(seg, posting_mode="tf")
+        deleted = rng.random(200) < 0.25
+        imp.set_deleted(deleted)
+        tfm.set_deleted(deleted)
+        fmask = rng.random(200) < 0.5
+        queries = [Query.from_int_ids([0, 1, 2])]
+        s1_, i1, _ = imp.search(queries, 10, filter_mask=fmask)
+        s2_, i2, _ = tfm.search(queries, 10, filter_mask=fmask)
+        np.testing.assert_array_equal(i1 >= 0, i2 >= 0)
+        rank_match(i2[0], i1[0], s2_[0], s1_[0])
+
+    def test_u16_fallback_when_tf_overflows_u8(self):
+        from vectorchord_bm25_tpu.text.intern import Document
+
+        def doc(pairs):
+            return Document(
+                keys=np.asarray([k for k, _ in pairs], dtype="S16"),
+                values=np.asarray([v for _, v in pairs], dtype=np.uint32),
+            )
+
+        docs = [
+            doc([(b"aaa", 300), (b"bbb", 2)]),
+            doc([(b"aaa", 1)]),
+            doc([(b"bbb", 5)]),
+        ]
+        seg = build_sealed_segment(docs)
+        tfm = BlockMaxEngine(seg, posting_mode="tf")
+        assert np.asarray(tfm.dev_post_tf).dtype == np.uint16
+        exact = ExactEngine(seg)
+        q = Query(keys=np.asarray([b"aaa", b"bbb"], dtype="S16"))
+        s1_, i1, _ = exact.search([q], 3)
+        s2_, i2, _ = tfm.search([q], 3)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1_, s2_, rtol=1e-5)
+
+    def test_memory_two_bytes_per_posting(self, rng):
+        docs = make_docs(rng, 2000, vocab=50)
+        seg = build_sealed_segment(docs)
+        imp = BlockMaxEngine(seg)
+        tfm = BlockMaxEngine(seg, posting_mode="tf")
+        r_imp = imp.memory_report()
+        r_tf = tfm.memory_report()
+        n_post = int(seg.block_n.sum())
+        # 2 B/posting (+ pad tail) vs 5 B/posting.
+        assert r_tf["postings"] <= 2 * (n_post + 512)
+        assert r_tf["postings"] < r_imp["postings"] / 2
+        assert r_tf["total"] < r_imp["total"]

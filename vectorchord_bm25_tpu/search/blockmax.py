@@ -56,6 +56,10 @@ def _blockmax_kernel(
     tr_ub,  # [M+1] float32
     token_tr_start,  # [V+2] int32 CSR
     q_tid,  # [Q, T] int32 (pad = V, the null term)
+    post_tf=None,  # [P] u8/u16 term frequencies (posting_mode="tf")
+    doc_fn=None,  # [N+1] u8 fieldnorms (posting_mode="tf")
+    s1_table=None,  # [256] float32 (posting_mode="tf")
+    q_s0=None,  # [Q, T] float32 per-term s0 (posting_mode="tf")
     *,
     k: int,
     chunk: int,
@@ -65,6 +69,7 @@ def _blockmax_kernel(
     n_docs: int,
     max_rounds: int,
     use_pallas: bool,
+    posting_mode: str = "impact",
 ):
     import jax
     import jax.numpy as jnp
@@ -156,13 +161,31 @@ def _blockmax_kernel(
                 rs=rs, interpret=use_pallas == "interpret",
             )  # [Q, C, RS]
         else:
-            # XLA path: gather impact + local windows [Q, T, C, RS] and
-            # scatter-add into per-range accumulators (impact-eager
-            # scoring: no table lookups or divisions at query time).
+            # XLA path: gather posting windows [Q, T, C, RS] and
+            # scatter-add into per-range accumulators.
             gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
             valid = rs_iota < length[..., None]
-            sc = jnp.where(valid, post_impact[gidx].astype(jnp.float32), 0.0)
             local = post_local[gidx].astype(jnp.int32)
+            if posting_mode == "tf":
+                # 2 B/posting lossless form: reconstruct the impact on
+                # the VPU from (tf, fieldnorm) exactly like the
+                # reference's per-posting Cache.evaluate
+                # (bm25.rs:334-359): score = tf*s0 / (tf + s1[fn]).
+                tval = jnp.where(
+                    valid, post_tf[gidx].astype(jnp.float32), 0.0
+                )
+                doc_l = jnp.minimum(
+                    cand_r[:, None, :, None] * rs + local, n_docs
+                )
+                fnv = doc_fn[doc_l].astype(jnp.int32)
+                s0q = q_s0[:, :, None, None]
+                sc = (tval * s0q) / (tval + s1_table[fnv])
+            else:
+                # Impact-eager: per-posting scores precomputed at build
+                # (no table lookups or divisions at query time).
+                sc = jnp.where(
+                    valid, post_impact[gidx].astype(jnp.float32), 0.0
+                )
             qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
             acc = jnp.zeros((q, c, rs), dtype=jnp.float32)
@@ -205,7 +228,7 @@ def _jitted_kernel():
         _blockmax_kernel,
         static_argnames=(
             "k", "chunk", "lmax", "range_size", "n_ranges", "n_docs",
-            "max_rounds", "use_pallas",
+            "max_rounds", "use_pallas", "posting_mode",
         ),
     )
 
@@ -221,7 +244,17 @@ class BlockMaxEngine:
         device=None,
         use_pallas: Optional[bool] = None,
         impact_dtype: str = "float32",
+        posting_mode: str = "impact",
     ):
+        """posting_mode:
+        - "impact": precomputed per-posting f32/bf16 scores (5/3 B per
+          posting; fastest — no query-time math).
+        - "tf": equal-index-memory form, 2 B/posting lossless — u8 tf
+          (u16 auto-fallback if any tf > 255) + u8 range-local doc id;
+          the impact is reconstructed on the VPU per posting, matching
+          the reference's decompress-and-score loop (search.rs:498-518,
+          bm25.rs:334-359).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -231,6 +264,9 @@ class BlockMaxEngine:
             arr = jnp.asarray(x, dtype=dtype)
             return jax.device_put(arr, device) if device is not None else arr
 
+        if posting_mode not in ("impact", "tf"):
+            raise ValueError(f"unknown posting_mode {posting_mode!r}")
+        self.posting_mode = posting_mode
         self.impact_dtype = impact_dtype
         self.segment = segment
         self.ranges = range_index or build_range_index(segment)
@@ -239,6 +275,8 @@ class BlockMaxEngine:
             # not over-gathering on small corpora.
             chunk = min(256, max(32, self.ranges.n_ranges // 64))
         self.chunk = chunk
+        if posting_mode == "tf":
+            use_pallas = False  # the fused kernel reads impacts
         self.use_pallas = (
             pallas_available() if use_pallas is None else use_pallas
         )
@@ -259,8 +297,31 @@ class BlockMaxEngine:
         tts = np.zeros(v + 2, dtype=np.int32)
         tts[: v + 1] = ri.token_tr_start
         tts[v + 1] = tts[v]
-        imp_dt = jnp.bfloat16 if impact_dtype == "bfloat16" else jnp.float32
-        self.dev_post_impact = put(ri.post_impact, imp_dt)
+        if posting_mode == "tf":
+            tf_max = (
+                int(segment.block_tfs.max()) if segment.n_blocks else 0
+            )
+            tf_dt = np.uint8 if tf_max <= 0xFF else np.uint16
+            self.dev_post_impact = None
+            self.dev_post_tf = put(ri.post_tf.astype(tf_dt))
+            fn_pad = np.zeros(segment.n_docs + 1, dtype=np.uint8)
+            fn_pad[: segment.n_docs] = segment.doc_fieldnorm
+            self.dev_doc_fn = put(fn_pad)
+            self.dev_s1 = put(
+                segment.score_tables().s1_table.astype(np.float32)
+            )
+            s0_host = np.zeros(segment.n_tokens + 1, dtype=np.float32)
+            s0_host[: segment.n_tokens] = segment.token_s0()
+            self._s0_host = s0_host  # null term V scores 0
+        else:
+            imp_dt = (
+                jnp.bfloat16 if impact_dtype == "bfloat16" else jnp.float32
+            )
+            self.dev_post_impact = put(ri.post_impact, imp_dt)
+            self.dev_post_tf = None
+            self.dev_doc_fn = None
+            self.dev_s1 = None
+            self._s0_host = None
         self.dev_post_local = put(ri.post_local)
         self.dev_tr_range = put(
             np.append(ri.tr_range, _INT_MAX).astype(np.int32)
@@ -300,7 +361,16 @@ class BlockMaxEngine:
         # lengths are derived on device from start diffs.
         range_meta = (4 + 4 + 4) * m1 + 4
         csr = 4 * (self.segment.n_tokens + 2)
-        postings = ri.post_impact.nbytes + ri.post_local.nbytes
+        if self.posting_mode == "tf":
+            postings = (
+                np.asarray(self.dev_post_tf).nbytes + ri.post_local.nbytes
+            )
+            doc_tables += self.segment.n_docs + 1  # fieldnorms u8
+        else:
+            postings = (
+                np.asarray(self.dev_post_impact).nbytes
+                + ri.post_local.nbytes
+            )
         total = postings + range_meta + csr + doc_tables
         return {
             "postings": postings,
@@ -356,6 +426,12 @@ class BlockMaxEngine:
 
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
         max_rounds = -(-ri.n_ranges // chunk) + 1
+        if self.posting_mode == "tf":
+            q_s0 = jnp.asarray(self._s0_host[np.minimum(
+                q_tid, self.segment.n_tokens
+            )])
+        else:
+            q_s0 = None
         scores, ids, rounds = _jitted_kernel()(
             self.dev_post_impact,
             self.dev_post_local,
@@ -366,6 +442,10 @@ class BlockMaxEngine:
             self.dev_tr_ub,
             self.dev_token_tr_start,
             jnp.asarray(q_tid),
+            self.dev_post_tf,
+            self.dev_doc_fn,
+            self.dev_s1,
+            q_s0,
             k=kk,
             chunk=min(chunk, ri.n_ranges),
             lmax=lmax,
@@ -374,6 +454,7 @@ class BlockMaxEngine:
             n_docs=dev.n_docs,
             max_rounds=max_rounds,
             use_pallas=self.use_pallas,
+            posting_mode=self.posting_mode,
         )
         scores_dev, ids_dev, rounds_dev = scores, ids, rounds
 

@@ -186,6 +186,10 @@ class ExactEngine:
         if share is not None:
             if share.segment is not segment:
                 raise ValueError("share must wrap the same sealed segment")
+            if share.dev_post_impact is None:
+                raise ValueError(
+                    "share requires a posting_mode='impact' BlockMaxEngine"
+                )
             self.dev = share.dev
             self._ranges = share.ranges
             self.dev_post_impact = share.dev_post_impact

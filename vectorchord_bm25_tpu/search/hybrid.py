@@ -50,6 +50,7 @@ class HybridEngine:
         device=None,
         use_pallas: Optional[bool] = None,
         memory_mode: str = "fast",
+        posting_mode: str = "impact",
     ):
         """memory_mode: "fast" gives the dense strategy its own padded
         [B, 128] block arrays (posting-aligned gathers: ~1 lane/posting
@@ -60,6 +61,11 @@ class HybridEngine:
         HBM-constrained deployments only."""
         if memory_mode not in ("fast", "compact"):
             raise ValueError(f"unknown memory_mode {memory_mode!r}")
+        if memory_mode == "compact" and posting_mode == "tf":
+            raise ValueError(
+                "memory_mode='compact' shares impact arrays; use "
+                "posting_mode='impact' (or a standalone tf BlockMaxEngine)"
+            )
         self.memory_mode = memory_mode
         self.segment = segment
         self.blockmax = BlockMaxEngine(
@@ -68,6 +74,7 @@ class HybridEngine:
             chunk=chunk,
             device=device,
             use_pallas=use_pallas,
+            posting_mode=posting_mode,
         )
         self._exact: Optional[ExactEngine] = None
         self._device = device
