@@ -153,3 +153,29 @@ class TestShardedIndex:
         assert n == 100
         # Quantized sum: Σ decode(fieldnorm(dl)) <= Σ dl.
         assert 0 < sdl <= sharded.sum_dl
+
+    def test_tf_posting_mode_matches(self, rng, mesh8):
+        # Sharded pruned engine in the 2 B/posting tf form == exact.
+        docs = make_docs(rng, 200, vocab=20)
+        single = ExactEngine(build_sealed_segment(docs))
+        sharded = ShardedIndex.build(
+            docs, 8, mesh=mesh8, engine="blockmax", posting_mode="tf"
+        )
+        queries = [
+            Query.from_int_ids(rng.integers(0, 20, size=3).tolist())
+            for _ in range(4)
+        ]
+        s_scores, s_ids, _ = sharded.search(queries, 10)
+        e_scores, e_ids, _ = single.search(queries, 10)
+        for qi in range(len(queries)):
+            got = s_ids[qi][s_ids[qi] >= 0]
+            expect = e_ids[qi][e_ids[qi] >= 0]
+            assert len(got) == len(expect), qi
+            rank_match(
+                got, expect,
+                s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
+            )
+            np.testing.assert_allclose(
+                s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
+                rtol=1e-5,
+            )

@@ -115,9 +115,18 @@ class ShardedIndex:
         engine: str = "exact",
         seed: Optional[bytes] = None,
         search_options: Optional[SearchOptions] = None,
+        posting_mode: str = "impact",
     ):
         if engine not in ("exact", "blockmax", "hybrid"):
             raise ValueError(f"unknown engine {engine!r}")
+        if posting_mode not in ("impact", "tf"):
+            raise ValueError(f"unknown posting_mode {posting_mode!r}")
+        if posting_mode == "tf" and engine != "blockmax":
+            raise ValueError(
+                "posting_mode='tf' requires engine='blockmax' (the dense "
+                "strategies read impact arrays)"
+            )
+        self.posting_mode = posting_mode
         self.options = options
         self.search_options = search_options or SearchOptions()
         self.axis = axis
@@ -211,6 +220,7 @@ class ShardedIndex:
         engine: str = "exact",
         seed: Optional[bytes] = None,
         device_build: bool = False,
+        posting_mode: str = "impact",
     ) -> "ShardedIndex":
         """Data-parallel build: contiguous corpus shards, offset-rebased
         doc ids (io.rs:244-282 analog).
@@ -243,7 +253,10 @@ class ShardedIndex:
                         options=options,
                     )
                 )
-        return cls(shards, options, mesh=mesh, engine=engine, seed=seed)
+        return cls(
+            shards, options, mesh=mesh, engine=engine, seed=seed,
+            posting_mode=posting_mode,
+        )
 
     # ------------------------------------------------------------------
     def _upload(self):
@@ -618,7 +631,31 @@ class ShardedIndex:
         mmax = max(ri.tr_range.size for ri in ris)
         self._mmax = mmax
 
-        impact = np.zeros((d, pmax), dtype=np.float32)
+        if self.posting_mode == "tf":
+            tf_max = max(
+                (
+                    int(v.segment.block_tfs.max())
+                    for v in self.views
+                    if v.segment.n_blocks
+                ),
+                default=0,
+            )
+            tf_dt = np.uint8 if tf_max <= 0xFF else np.uint16
+            post_tf = np.zeros((d, pmax), dtype=tf_dt)
+            s0_tab = np.zeros((d, vmax + 2), dtype=np.float32)
+            for i, (view, ri) in enumerate(zip(self.views, ris)):
+                post_tf[i, : ri.post_tf.size] = ri.post_tf
+                gid = np.searchsorted(
+                    self.token_keys, view.segment.token_keys
+                )
+                s0_tab[i, : gid.size] = self.token_s0[gid]
+            self.dev_bm_tf = self._shard_put(post_tf)
+            self.dev_bm_s0 = self._shard_put(s0_tab)
+            impact = np.zeros((d, 1), dtype=np.float32)  # unused
+        else:
+            self.dev_bm_tf = None
+            self.dev_bm_s0 = None
+            impact = np.zeros((d, pmax), dtype=np.float32)
         local = np.zeros((d, pmax), dtype=np.uint8)
         tr_range = np.full((d, mmax + 1), np.iinfo(np.int32).max, np.int32)
         # Group lengths are tr_start diffs (see blockmax.py); every slot
@@ -633,7 +670,8 @@ class ShardedIndex:
             v = view.segment.n_tokens
             m = ri.tr_range.size
             total = int(ri.tr_start[-1] + ri.tr_len[-1]) if m else 0
-            impact[i, : ri.post_impact.size] = ri.post_impact
+            if self.posting_mode != "tf":
+                impact[i, : ri.post_impact.size] = ri.post_impact
             local[i, : ri.post_local.size] = ri.post_local
             tr_range[i, :m] = ri.tr_range
             tr_start[i, :m] = ri.tr_start
@@ -740,11 +778,22 @@ class ShardedIndex:
         rs = self._rs
         rmax = self._rmax
         max_rounds = -(-rmax // chunk) + 1
+        posting_mode = self.posting_mode
 
         def local_and_merge(
             impact, local, tr_range, tr_start, tr_ub, csr,
             doc_live, fmask, doc_offset, q_tid_s,
+            post_tf, s0_tab, doc_fn, s1,
         ):
+            if posting_mode == "tf":
+                tf_args = dict(
+                    post_tf=post_tf[0],
+                    doc_fn=doc_fn[0],
+                    s1_table=s1,
+                    q_s0=s0_tab[0][q_tid_s[0]],
+                )
+            else:
+                tf_args = {}
             l_scores, l_ids, _ = _blockmax_kernel(
                 impact[0],
                 local[0],
@@ -763,6 +812,8 @@ class ShardedIndex:
                 n_docs=nmax,
                 max_rounds=max_rounds,
                 use_pallas=False,
+                posting_mode=posting_mode,
+                **tf_args,
             )
             invalid = jnp.int32(np.iinfo(np.int32).max)
             g_ids = jnp.where(
@@ -782,6 +833,7 @@ class ShardedIndex:
             in_specs=(
                 P(axis), P(axis), P(axis), P(axis), P(axis),
                 P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis), P(),  # s1 table replicated
             ),
             out_specs=(P(), P()),
             check_vma=False,
@@ -797,6 +849,7 @@ class ShardedIndex:
         # merged global top-k needs k candidates per shard when available
         # (cap only by the per-round candidate pool).
         kk = min(_bucket(k, 1), chunk * self._rs)
+        tf_mode = self.posting_mode == "tf"
         scores, gids = self._sharded_blockmax_fn(kk, lmax, chunk)(
             self.dev_bm_impact,
             self.dev_bm_local,
@@ -808,6 +861,10 @@ class ShardedIndex:
             fmask_dev,
             self.dev_doc_offsets,
             jnp.asarray(q_tid),
+            self.dev_bm_tf if tf_mode else self.dev_bm_impact,
+            self.dev_bm_s0 if tf_mode else self.dev_bm_impact,
+            self.dev_doc_fn,
+            self.dev_s1,
         )
         return scores, gids
 
