@@ -483,11 +483,16 @@ def oracle_topk(
     dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host top-k oracle with the pinned tie rule (score desc, doc asc)."""
+    from ..utils.scorepack import pack_score
+
     scores = oracle_scores(segment, query, deleted, dtype)
     if filter_mask is not None:
         scores = np.where(np.asarray(filter_mask, dtype=bool), scores, 0)
     keep = scores > 0
     docs = np.flatnonzero(keep)
-    order = np.lexsort((docs, -scores[docs].astype(np.float64)))
+    # Sort keys are the reference's total-order score packing (the Score
+    # heap key, crates/score/src/lib.rs:32-66): pack(-s) ascends as s
+    # descends, with none of float-compare's NaN/-0 pitfalls.
+    order = np.lexsort((docs, pack_score(-scores[docs].astype(np.float64))))
     top = docs[order[:k]]
     return scores[top], top
