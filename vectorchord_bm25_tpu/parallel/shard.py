@@ -699,10 +699,17 @@ class ShardedIndex:
         postings = 0
         meta = 0
         if self.engine in ("blockmax", "hybrid"):
+            stream = (
+                self.dev_bm_tf
+                if self.posting_mode == "tf"
+                else self.dev_bm_impact
+            )
             postings += int(
-                np.asarray(self.dev_bm_impact).nbytes
+                np.asarray(stream).nbytes
                 + np.asarray(self.dev_bm_local).nbytes
             )
+            if self.posting_mode == "tf":
+                doc_tables += int(np.asarray(self.dev_bm_s0).nbytes)
             meta += int(
                 np.asarray(self.dev_bm_tr_range).nbytes
                 + np.asarray(self.dev_bm_tr_start).nbytes
