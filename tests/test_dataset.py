@@ -9,6 +9,10 @@
 """
 
 import numpy as np
+
+import os as _os
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
 import pytest
 
 from vectorchord_bm25_tpu.data.beir import BeirDataset, load_beir
@@ -159,9 +163,9 @@ class TestBenchDatasetMode:
                 sys.executable, "bench.py", "--dataset", "synthetic:scifact-mini",
                 "--batch", "32", "--rounds", "1",
             ],
-            capture_output=True, text=True, cwd="/root/repo",
+            capture_output=True, text=True, cwd=_REPO_ROOT,
             env={**os.environ, "JAX_PLATFORMS": "cpu",
-                 "PYTHONPATH": "/root/repo"},
+                 "PYTHONPATH": _REPO_ROOT},
             timeout=600,
         )
         assert r.returncode == 0, r.stderr

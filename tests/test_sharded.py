@@ -179,3 +179,63 @@ class TestShardedIndex:
                 s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
                 rtol=1e-5,
             )
+
+    def test_uniform_range_size_across_shards(self, rng, mesh8, monkeypatch):
+        # Regression: the stacked kernels decode doc = range*rs + local
+        # with ONE rs; shards straddling the scale-aware default's
+        # threshold must not get different range sizes.
+        import vectorchord_bm25_tpu.index.ranges as ranges_mod
+
+        monkeypatch.setattr(
+            ranges_mod, "default_range_size",
+            lambda n: 64 if n < 26 else 128,
+        )
+        docs = make_docs(rng, 201, vocab=15)  # 8 shards: sizes 25 and 26
+        single = ExactEngine(build_sealed_segment(docs))
+        sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine="blockmax")
+        sizes = {ri.range_size for ri in sharded._range_indexes}
+        assert len(sizes) == 1, sizes
+        queries = [
+            Query.from_int_ids(rng.integers(0, 15, size=3).tolist())
+            for _ in range(4)
+        ]
+        s_scores, s_ids, _ = sharded.search(queries, 10)
+        e_scores, e_ids, _ = single.search(queries, 10)
+        for qi in range(len(queries)):
+            got = s_ids[qi][s_ids[qi] >= 0]
+            expect = e_ids[qi][e_ids[qi] >= 0]
+            assert len(got) == len(expect), qi
+            rank_match(
+                got, expect,
+                s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
+            )
+
+    def test_k_exceeds_per_round_candidate_pool(self, rng, mesh8):
+        # Regression: per-shard k was once capped at chunk*range_size,
+        # truncating large top-k requests (and crashing the growing
+        # merge); the running top-k accumulates across rounds, so k may
+        # exceed one round's candidate pool.
+        docs = make_docs(rng, 5000, vocab=6)
+        sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine="blockmax")
+        from vectorchord_bm25_tpu.text.intern import Document
+
+        sharded.insert(Document.from_int_ids([0, 1]), payload=99999)
+        single = ExactEngine(build_sealed_segment(docs))
+        q = Query.from_int_ids([0, 1])
+        k = 1000
+        s_scores, s_ids, s_pay = sharded.search([q], k)
+        assert s_scores.shape == (1, k)
+        e_scores, e_ids, _ = single.search([q], k)
+        # The inserted doc appears somewhere; drop it for the comparison.
+        mask = s_pay[0] != 99999
+        got = s_ids[0][mask & (s_ids[0] >= 0)][: k - 1]
+        expect = e_ids[0][e_ids[0] >= 0][: k - 1]
+        assert got.size == min(k - 1, expect.size)
+        mism = int((got != expect[: got.size]).sum())
+        # Ties may swap; everything else must match.
+        near = np.isclose(
+            s_scores[0][mask][: got.size],
+            e_scores[0][: got.size],
+            rtol=1e-4,
+        )
+        assert near.all(), mism

@@ -5,6 +5,10 @@ import subprocess
 import sys
 
 import numpy as np
+
+import os as _os
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
 import pytest
 
 from vectorchord_bm25_tpu.index.bm25index import Bm25Index
@@ -54,11 +58,11 @@ class TestCli:
             [sys.executable, "-m", "vectorchord_bm25_tpu.cli", *args],
             capture_output=True,
             text=True,
-            cwd="/root/repo",
+            cwd=_REPO_ROOT,
             env={
                 **__import__("os").environ,
                 "JAX_PLATFORMS": "cpu",
-                "PYTHONPATH": "/root/repo",
+                "PYTHONPATH": _REPO_ROOT,
             },
             timeout=300,
         )

@@ -105,42 +105,59 @@ class Wal:
     @staticmethod
     def replay(path: str, index: Bm25Index) -> int:
         """Apply logged mutations to a freshly loaded checkpoint."""
-        applied = 0
-        if not os.path.exists(path):
-            return applied
-        with open(path, "rb") as f:
-            for line in f:
-                if not line.endswith(b"\n"):
-                    break  # torn tail from a crash mid-append
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    break
-                op = rec.get("op")
-                if op == "insert":
-                    keys = np.frombuffer(
-                        base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
-                    )
-                    doc = Document(
-                        keys=keys.copy(),
-                        values=np.asarray(rec["values"], dtype=np.uint32),
-                    )
-                    index.growing.insert(doc, int(rec["payload"]))
-                elif op == "delete":
-                    sealed = np.asarray(rec["sealed"], dtype=np.int64)
-                    if sealed.size:
-                        index.deleted[sealed] = True
-                        index._engine_deleted_dirty = True
-                    for slot in rec["growing"]:
-                        index.growing.deleted[slot] = True
-                elif op == "maintain":
-                    index._maintain_locked()
-                else:  # unknown op from a future version
-                    raise ValueError(
-                        f"unknown WAL op {op!r}; rebuild the index"
-                    )
-                applied += 1
+        return _replay_wal(path, index, "_engine_deleted_dirty")
+
+
+def _replay_wal(path: str, index, dirty_attr: str) -> int:
+    """Apply logged mutations to a loaded index; both the single-chip and
+    sharded facades share the record format and the growing/deleted/
+    maintain surfaces (only the deleted-dirty flag name differs)."""
+    applied = 0
+    if not os.path.exists(path):
         return applied
+    with open(path, "rb") as f:
+        for line in f:
+            if not line.endswith(b"\n"):
+                break  # torn tail from a crash mid-append
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                break
+            op = rec.get("op")
+            if op == "insert":
+                keys = np.frombuffer(
+                    base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
+                )
+                doc = Document(
+                    keys=keys.copy(),
+                    values=np.asarray(rec["values"], dtype=np.uint32),
+                )
+                index.growing.insert(doc, int(rec["payload"]))
+            elif op == "delete":
+                sealed = np.asarray(rec["sealed"], dtype=np.int64)
+                if sealed.size:
+                    index.deleted[sealed] = True
+                    setattr(index, dirty_attr, True)
+                for slot in rec["growing"]:
+                    index.growing.deleted[slot] = True
+            elif op == "maintain":
+                index._maintain_locked()
+            else:  # unknown op from a future version
+                raise ValueError(f"unknown WAL op {op!r}; rebuild the index")
+            applied += 1
+    return applied
+
+
+def _truncate_wal(index, directory: str) -> None:
+    """Empty the WAL after a committed checkpoint (it only holds
+    post-checkpoint mutations)."""
+    wal = getattr(index, "_wal", None)
+    if wal is not None and os.path.dirname(wal.path) == directory:
+        wal.reset()
+    else:
+        wal_path = os.path.join(directory, "wal.log")
+        if os.path.exists(wal_path):
+            _atomic_write(wal_path, b"")
 
 _SEGMENT_FIELDS = [
     "doc_fieldnorm",
@@ -423,14 +440,7 @@ def _save_index_locked(index: Bm25Index, directory: str) -> None:
     _commit_generation(
         directory, lambda gen_dir: _write_checkpoint_files(index, gen_dir)
     )
-    # The WAL only holds post-checkpoint mutations.
-    wal = getattr(index, "_wal", None)
-    if wal is not None and os.path.dirname(wal.path) == directory:
-        wal.reset()
-    else:
-        wal_path = os.path.join(directory, "wal.log")
-        if os.path.exists(wal_path):
-            _atomic_write(wal_path, b"")
+    _truncate_wal(index, directory)
 
 
 def load_index(directory: str) -> Bm25Index:
@@ -561,53 +571,7 @@ def save_sharded_index(index, directory: str) -> None:
             _fsync_dir(gen_dir)
 
         _commit_generation(directory, write_files)
-        # The WAL only holds post-checkpoint mutations.
-        wal = getattr(index, "_wal", None)
-        if wal is not None and os.path.dirname(wal.path) == directory:
-            wal.reset()
-        else:
-            wal_path = os.path.join(directory, "wal.log")
-            if os.path.exists(wal_path):
-                _atomic_write(wal_path, b"")
-
-
-def _replay_wal_sharded(path: str, index) -> int:
-    """Apply logged mutations to a freshly loaded sharded checkpoint
-    (same record format as Wal.replay; sharded delete-bitmap plumbing)."""
-    applied = 0
-    if not os.path.exists(path):
-        return applied
-    with open(path, "rb") as f:
-        for line in f:
-            if not line.endswith(b"\n"):
-                break  # torn tail from a crash mid-append
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                break
-            op = rec.get("op")
-            if op == "insert":
-                keys = np.frombuffer(
-                    base64.b64decode(rec["keys"]), dtype=f"S{WIDTH}"
-                )
-                doc = Document(
-                    keys=keys.copy(),
-                    values=np.asarray(rec["values"], dtype=np.uint32),
-                )
-                index.growing.insert(doc, int(rec["payload"]))
-            elif op == "delete":
-                sealed = np.asarray(rec["sealed"], dtype=np.int64)
-                if sealed.size:
-                    index.deleted[sealed] = True
-                    index._deleted_dirty = True
-                for slot in rec["growing"]:
-                    index.growing.deleted[slot] = True
-            elif op == "maintain":
-                index._maintain_locked()
-            else:  # unknown op from a future version
-                raise ValueError(f"unknown WAL op {op!r}; rebuild the index")
-            applied += 1
-    return applied
+        _truncate_wal(index, directory)
 
 
 def open_sharded_index(directory: str, mesh=None):
@@ -670,5 +634,5 @@ def load_sharded_index(directory: str, mesh=None):
     _replay_growing_jsonl(
         os.path.join(base, "growing.jsonl"), index.growing.insert, mark
     )
-    _replay_wal_sharded(os.path.join(directory, "wal.log"), index)
+    _replay_wal(os.path.join(directory, "wal.log"), index, "_deleted_dirty")
     return index

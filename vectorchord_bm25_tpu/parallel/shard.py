@@ -116,9 +116,18 @@ class ShardedIndex:
         seed: Optional[bytes] = None,
         search_options: Optional[SearchOptions] = None,
         posting_mode: str = "impact",
+        memory_mode: str = "fast",
     ):
         if engine not in ("exact", "blockmax", "hybrid"):
             raise ValueError(f"unknown engine {engine!r}")
+        if memory_mode not in ("fast", "compact"):
+            raise ValueError(f"unknown memory_mode {memory_mode!r}")
+        # "fast": the hybrid's dense strategy reads posting-aligned flat
+        # rows (~1 lane/posting for selective queries); "compact" reuses
+        # the pruned engine's doc-range-aligned stream (one HBM copy, but
+        # selective terms gather up to range_size lanes/posting — see
+        # DESIGN.md's measured 25x collapse).
+        self.memory_mode = memory_mode
         if posting_mode not in ("impact", "tf"):
             raise ValueError(f"unknown posting_mode {posting_mode!r}")
         if posting_mode == "tf" and engine != "blockmax":
@@ -271,7 +280,7 @@ class ShardedIndex:
         nmax = max(max((s.n_docs for s in shards), default=1), 1)
         bmax = max(max((s.n_blocks for s in shards), default=1), 1)
 
-        doc_fn = np.zeros((d, nmax + 1), dtype=np.int32)
+        doc_fn = np.zeros((d, nmax + 1), dtype=np.uint8)
         doc_live = np.zeros((d, nmax + 1), dtype=np.float32)
         doc_offsets = np.zeros((d, 1), dtype=np.int32)
         n_local = np.zeros((d, 1), dtype=np.int32)
@@ -279,7 +288,9 @@ class ShardedIndex:
         # Dense engine storage: each shard's flat (token, doc)-ordered
         # posting stream with global-stats impacts, reshaped to 128-lane
         # rows (zero padding between terms; see search/device.py).
-        with_blocks = self.engine == "exact"
+        with_blocks = self.engine == "exact" or (
+            self.engine == "hybrid" and self.memory_mode == "fast"
+        )
         if with_blocks:
             flats = []
             rpmax = 1
@@ -606,7 +617,16 @@ class ShardedIndex:
 
         from ..index.ranges import build_range_index
 
+        from ..index.ranges import default_range_size
+
         d = self.n_shards
+        # One range size for EVERY shard: the stacked kernels decode
+        # doc = range*rs + local with a single rs, and the scale-aware
+        # default would otherwise differ across shards straddling its
+        # doc-count threshold (silently corrupting doc ids).
+        rs = default_range_size(
+            max((v.segment.n_docs for v in self.views), default=1)
+        )
         # Impacts must bake in GLOBAL statistics (idf over all shards).
         self._range_indexes = []
         for v in self.views:
@@ -614,6 +634,7 @@ class ShardedIndex:
             self._range_indexes.append(
                 build_range_index(
                     v.segment,
+                    range_size=rs,
                     global_stats=(
                         self.n_docs,
                         self.sum_dl,
@@ -640,6 +661,12 @@ class ShardedIndex:
                 ),
                 default=0,
             )
+            if tf_max > 0xFFFF:
+                raise ValueError(
+                    f"posting_mode='tf' stores term frequencies in at "
+                    f"most 16 bits (max tf here: {tf_max}); use "
+                    f"posting_mode='impact'"
+                )
             tf_dt = np.uint8 if tf_max <= 0xFF else np.uint16
             post_tf = np.zeros((d, pmax), dtype=tf_dt)
             s0_tab = np.zeros((d, vmax + 2), dtype=np.float32)
@@ -695,7 +722,8 @@ class ShardedIndex:
         metric; per-engine breakdown mirrors the single-chip engines)."""
         import jax.numpy as jnp  # noqa: F401
 
-        doc_tables = 4 * self.n_shards * (self._nmax + 1)  # doc_live
+        # doc_live f32 + the ones mask f32 + fieldnorms u8, per shard.
+        doc_tables = (4 + 4 + 1) * self.n_shards * (self._nmax + 1)
         postings = 0
         meta = 0
         if self.engine in ("blockmax", "hybrid"):
@@ -852,10 +880,12 @@ class ShardedIndex:
 
         q_tid, lmax = self._prepare_blockmax(queries)
         chunk = min(64, self._rmax)
-        # Per-shard k must not be capped by the shard's doc count: the
-        # merged global top-k needs k candidates per shard when available
-        # (cap only by the per-round candidate pool).
-        kk = min(_bucket(k, 1), chunk * self._rs)
+        # Per-shard k must not be capped at all — not by the shard's doc
+        # count (the global merge needs k candidates per shard when
+        # available) and not by the per-round candidate pool (the running
+        # top-k accumulates across rounds, so its width may exceed one
+        # round's pool).
+        kk = _bucket(k, 1)
         tf_mode = self.posting_mode == "tf"
         scores, gids = self._sharded_blockmax_fn(kk, lmax, chunk)(
             self.dev_bm_impact,
@@ -1152,25 +1182,22 @@ class ShardedIndex:
         if self.engine == "blockmax":
             return self._search_blockmax(queries, k, fmask_dev)
         if self.engine == "exact":
-            win_row, win_lo, win_hi = self._prepare(queries)
-            kk = _bucket(k, 1)
-            return self._sharded_search_fn(kk)(
-                self.dev_post_docid,
-                self.dev_post_impact,
-                self.dev_doc_live,
-                fmask_dev,
-                self.dev_doc_offsets,
-                jnp.asarray(win_row),
-                jnp.asarray(win_lo),
-                jnp.asarray(win_hi),
-            )
+            return self._search_dense(queries, k, fmask_dev)
         # Hybrid: route per query, dispatch each group, reassemble.
+        # Dense strategy: posting-aligned flat rows in "fast" mode (the
+        # single-chip hybrid default); the range-aligned compact stream
+        # only in "compact" mode (one HBM copy; see DESIGN.md).
+        dense_fn = (
+            self._search_dense
+            if self.memory_mode == "fast"
+            else self._search_compact
+        )
         strategy = self._route(queries)
         qn = len(queries)
         scores = np.full((qn, k), -np.inf, dtype=np.float32)
         gids = np.full((qn, k), np.iinfo(np.int32).max, dtype=np.int64)
         for strat, fn in (
-            (1, self._search_compact),
+            (1, dense_fn),
             (2, self._search_blockmax),
         ):
             idx = np.flatnonzero(strategy == strat)
@@ -1179,6 +1206,22 @@ class ShardedIndex:
                 scores[idx] = np.asarray(s)[:, :k]
                 gids[idx] = np.asarray(i)[:, :k]
         return scores, gids
+
+    def _search_dense(self, queries, k, fmask_dev):
+        import jax.numpy as jnp
+
+        win_row, win_lo, win_hi = self._prepare(queries)
+        kk = _bucket(k, 1)
+        return self._sharded_search_fn(kk)(
+            self.dev_post_docid,
+            self.dev_post_impact,
+            self.dev_doc_live,
+            fmask_dev,
+            self.dev_doc_offsets,
+            jnp.asarray(win_row),
+            jnp.asarray(win_lo),
+            jnp.asarray(win_hi),
+        )
 
     def search(
         self,

@@ -301,6 +301,12 @@ class BlockMaxEngine:
             tf_max = (
                 int(segment.block_tfs.max()) if segment.n_blocks else 0
             )
+            if tf_max > 0xFFFF:
+                raise ValueError(
+                    f"posting_mode='tf' stores term frequencies in at "
+                    f"most 16 bits (max tf here: {tf_max}); use "
+                    f"posting_mode='impact'"
+                )
             tf_dt = np.uint8 if tf_max <= 0xFF else np.uint16
             self.dev_post_impact = None
             self.dev_post_tf = put(ri.post_tf.astype(tf_dt))
