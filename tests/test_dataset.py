@@ -176,3 +176,28 @@ class TestBenchDatasetMode:
         assert 0 < rec["ndcg@10"] <= 1
         assert rec["oracle_parity_mismatches"] == 0
         assert "recall@1000" in rec
+
+
+class TestShardedDataset:
+    def test_sharded_metrics_match_single_chip(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            import pytest as _pytest
+
+            _pytest.skip("needs 8 virtual devices")
+        from vectorchord_bm25_tpu.data.harness import (
+            build_index, make_queries, run_dataset,
+        )
+        from vectorchord_bm25_tpu.data.synthetic import generate_beir_like
+        from vectorchord_bm25_tpu.text.intern import random_seed
+
+        ds = generate_beir_like("scifact-mini")
+        seed = random_seed()
+        single = build_index(ds, engine="exact", seed=seed)
+        sharded = build_index(ds, engine="exact", seed=seed, shards=8)
+        queries = make_queries(ds, single)
+        _, m1, _ = run_dataset(ds, single, k=50, batch=16, queries=queries)
+        _, m2, _ = run_dataset(ds, sharded, k=50, batch=16, queries=queries)
+        for key in m1:
+            assert abs(m1[key] - m2[key]) < 1e-9, (key, m1[key], m2[key])

@@ -28,14 +28,24 @@ def build_index(
     engine: str = "hybrid",
     options: Optional[IndexOptions] = None,
     seed: Optional[bytes] = None,
-) -> Bm25Index:
-    """Index a BEIR corpus; payload i maps back to ds.doc_ids[i]."""
+    shards: Optional[int] = None,
+):
+    """Index a BEIR corpus; payload i maps back to ds.doc_ids[i].
+
+    shards: build a doc-sharded ShardedIndex over that many mesh devices
+    instead of the single-chip facade (quality metrics on the mesh)."""
     seed = seed if seed is not None else random_seed()
     docs = documents_from_texts(seed, ds.doc_texts)
+    if shards is not None:
+        from ..parallel.shard import ShardedIndex
+
+        return ShardedIndex.build(
+            docs, shards, options=options, seed=seed, engine=engine
+        )
     return Bm25Index.build(docs, options=options, seed=seed, engine=engine)
 
 
-def make_queries(ds: BeirDataset, index: Bm25Index) -> List[Query]:
+def make_queries(ds: BeirDataset, index) -> List[Query]:
     return [
         Query.from_tokens(index.seed, tokenize_query(t)) for t in ds.query_texts
     ]
@@ -57,7 +67,9 @@ def run_dataset(
     passes after a compile warmup.
     """
     queries = queries if queries is not None else make_queries(ds, index)
-    engine = index.engine()
+    # Single-chip facade exposes its engine; the sharded index IS the
+    # engine (same (scores, ids, payloads) batch contract).
+    engine = index.engine() if hasattr(index, "engine_kind") else index
     n = len(queries)
     # Pad to a whole number of fixed-size batches (jit cache stays warm).
     padded = list(queries)
