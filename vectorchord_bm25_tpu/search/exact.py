@@ -56,6 +56,15 @@ def _jitted_score_and_topk():
 
 
 @functools.lru_cache(maxsize=1)
+def _jitted_score_and_topk_sparse():
+    import jax
+
+    return jax.jit(
+        _score_and_topk_sparse, static_argnames=("k", "n_docs", "seg_steps")
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def _jitted_score_and_topk_compact():
     import jax
 
@@ -112,9 +121,9 @@ def _score_and_topk_compact(
     acc = jax.vmap(accumulate)(doc, sc)  # [Q, N+1]
     # live/filter factors are per-doc, so they distribute over the sum.
     acc = acc * doc_live[None, :] * filter_mask[None, :]
-    acc = acc[:, :n_docs]
-    masked = jnp.where(acc > 0.0, acc, -jnp.inf)
-    scores, ids = jax.lax.top_k(masked, k)
+    from ..ops.topk import dense_topk
+
+    scores, ids = dense_topk(acc, k, n_docs)
     return scores, ids
 
 
@@ -149,9 +158,81 @@ def _score_and_topk(
 
     acc = jax.vmap(accumulate)(d, sc)  # [Q, N+1]
     acc = acc * filter_mask[None, :]
-    acc = acc[:, :n_docs]
-    masked = jnp.where(acc > 0.0, acc, -jnp.inf)
-    scores, ids = jax.lax.top_k(masked, k)
+    from ..ops.topk import dense_topk
+
+    scores, ids = dense_topk(acc, k, n_docs)
+    return scores, ids
+
+
+def _score_and_topk_sparse(
+    post_docid,  # [R+1, 128] int32 flat postings (pad row R, pad doc N)
+    post_impact,  # [R+1, 128] f32/bf16 precomputed scores (pad = 0)
+    doc_live,  # [N+1] float32
+    win_row,  # [Q, P] int32 posting-row ids (pad = R)
+    win_lo,  # [Q, P] int32 first live lane in the row window
+    win_hi,  # [Q, P] int32 one-past-last live lane
+    filter_mask,  # [N+1] float32 (1 keep)
+    k: int,
+    n_docs: int,
+    seg_steps: int,  # ceil(log2(max query terms)) — segment length bound
+):
+    """Sort-based exact scoring: cost ~ O(P log P), independent of n_docs.
+
+    The dense accumulator path pays a scatter-add plus a corpus-wide
+    top_k per query — both scale with n_docs (measured ~40 ms + ~36 ms
+    for [32, 4M] on a v5e).  Here the gathered (doc, score) postings are
+    instead sorted by doc id, duplicate docs (one posting per matching
+    query term) are combined with a segmented Hillis-Steele shift-add
+    (segments are at most 2^seg_steps long — a doc appears at most once
+    per term), and top-k runs over the P-wide candidate lanes.  The
+    analog of the reference's merge-join over per-term cursors
+    (search.rs:151-280) — realized as one data-parallel sort instead of
+    pointer chasing.
+
+    Tie semantics: after the doc-ascending sort, candidate lanes are in
+    global doc order, so lax.top_k's lowest-index tie break reproduces
+    the pinned (score desc, doc asc) rule exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d = post_docid[win_row]  # [Q, P, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 2)
+    valid = (lane >= win_lo[..., None]) & (lane < win_hi[..., None])
+    sc = (
+        jnp.where(valid, post_impact[win_row].astype(jnp.float32), 0.0)
+        * doc_live[d]
+        * filter_mask[d]
+    )
+    d = jnp.where(valid, d, n_docs)  # pads sort last
+
+    q = d.shape[0]
+    df = d.reshape(q, -1)
+    sf = sc.reshape(q, -1)
+    df, sf = jax.lax.sort((df, sf), dimension=1, num_keys=1)
+
+    # Segmented inclusive scan: equal doc ids are contiguous after the
+    # sort, so "same doc at distance sh" == "same segment".
+    s = sf
+    for i in range(seg_steps):
+        sh = 1 << i
+        zero_i = jnp.zeros((q, sh), dtype=df.dtype)
+        zero_f = jnp.zeros((q, sh), dtype=s.dtype)
+        same = jnp.concatenate([zero_i == 1, df[:, sh:] == df[:, :-sh]], axis=1)
+        add = jnp.concatenate([zero_f, s[:, :-sh]], axis=1)
+        s = s + jnp.where(same, add, 0.0)
+
+    is_last = jnp.concatenate(
+        [df[:, :-1] != df[:, 1:], jnp.ones((q, 1), dtype=bool)], axis=1
+    )
+    cand = jnp.where(is_last & (df < n_docs) & (s > 0.0), s, -jnp.inf)
+    kk = min(k, cand.shape[1])
+    scores, pos = jax.lax.top_k(cand, kk)
+    ids = jnp.take_along_axis(df, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=0)
     return scores, ids
 
 
@@ -171,6 +252,7 @@ class ExactEngine:
         impact_dtype: str = "float32",
         compact: bool = False,
         share=None,
+        strategy: str = "auto",
     ):
         """compact=True stores postings in the 5 B/posting flat form (the
         range index's impact/local streams) instead of the padded
@@ -179,7 +261,18 @@ class ExactEngine:
         share: a BlockMaxEngine over the same segment; its device arrays
         (postings, range metadata, doc-live mask) are reused so a hybrid
         engine holds ONE copy of the index in HBM.  Implies compact.
+
+        strategy: "dense" = scatter-add accumulator + hierarchical
+        top-k (cost ~ n_docs per query); "sparse" = doc-sort +
+        segmented-sum over gathered postings only (cost ~ postings,
+        independent of n_docs); "auto" picks sparse on corpora past
+        `SPARSE_MIN_DOCS` where the accumulator passes dominate
+        (measured crossover on v5e, DESIGN.md).  Compact mode always
+        uses its dense form.
         """
+        if strategy not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        self.strategy = strategy
         self.segment = segment
         self.accumulator_budget = accumulator_budget
         self.compact = bool(compact or share is not None)
@@ -269,13 +362,11 @@ class ExactEngine:
             "bytes_per_posting": postings / n_post,
         }
 
-    def _prepare_compact(self, queries: Sequence[Query]):
-        """Host-side batch assembly: padded per-query group-id lists
-        (CSR slices of the range index, the compact analog of block
-        lists)."""
+    def _grp_lists(self, queries: Sequence[Query]):
+        """Per-query group-id lists (CSR slices of the range index, the
+        compact analog of block lists)."""
         seg = self.segment
         ri = self._ranges
-        q = len(queries)
         starts = ri.token_tr_start
         grp_lists = []
         for query in queries:
@@ -290,25 +381,41 @@ class ExactEngine:
             else:
                 grps = np.zeros(0, dtype=np.int64)
             grp_lists.append(grps)
+        return grp_lists
 
+    def _assemble_compact(self, grp_lists):
+        """Pad a subset's group lists to a bucketed [q, G] id matrix."""
+        ri = self._ranges
         m_pad = ri.tr_range.size  # the appended pad slot
         g_max = _bucket(max((x.size for x in grp_lists), default=1), 8)
-        grp_ids = np.full((q, g_max), m_pad, dtype=np.int32)
+        grp_ids = np.full((len(grp_lists), g_max), m_pad, dtype=np.int32)
         for i, grps in enumerate(grp_lists):
             if grps.size:
                 grp_ids[i, : grps.size] = grps
         return grp_ids
 
-    def _prepare(self, queries: Sequence[Query]):
-        """Host-side batch assembly: padded per-query posting-row windows
-        (row id + live-lane bounds) covering each term's flat span."""
+    def _prepare_compact(self, queries: Sequence[Query]):
+        """Host-side batch assembly (single bucket): padded per-query
+        group-id lists."""
+        return self._assemble_compact(self._grp_lists(queries))
+
+    #: "auto" strategy switches to the sparse sort path at this corpus
+    #: size (measured crossover on v5e: the dense path's scatter +
+    #: corpus-wide top-k dominate past ~1M docs, DESIGN.md).
+    SPARSE_MIN_DOCS = 1 << 20
+
+    def _win_lists(self, queries: Sequence[Query]):
+        """Per-query posting-row window lists (row id + live-lane
+        bounds) covering each term's flat span, plus per-query matched
+        term counts."""
         seg = self.segment
-        q = len(queries)
         csr = self.dev.token_flat_start
         win_lists = []
+        n_terms = []
         for query in queries:
             ids = seg.lookup_tokens(query.keys)
             ids = ids[ids >= 0].astype(np.int64)
+            n_terms.append(ids.size)
             if ids.size:
                 spans = [
                     _span_windows(int(csr[t]), int(csr[t + 1])) for t in ids
@@ -319,7 +426,11 @@ class ExactEngine:
             else:
                 rows = los = his = np.zeros(0, dtype=np.int64)
             win_lists.append((rows, los, his))
+        return win_lists, n_terms
 
+    def _assemble_windows(self, win_lists):
+        """Pad a subset's window lists to bucketed [q, P] matrices."""
+        q = len(win_lists)
         p_max = _bucket(max((x[0].size for x in win_lists), default=1), 8)
         win_row = np.full((q, p_max), self.dev.n_rows, dtype=np.int32)
         win_lo = np.zeros((q, p_max), dtype=np.int32)
@@ -331,6 +442,18 @@ class ExactEngine:
                 win_hi[i, : rows.size] = his
         return win_row, win_lo, win_hi
 
+    def _prepare(self, queries: Sequence[Query], with_terms: bool = False):
+        """Host-side batch assembly (single bucket): padded per-query
+        posting-row windows.
+
+        with_terms=True additionally returns the max matched-term count
+        in the batch (bounds the sparse path's segment lengths)."""
+        win_lists, n_terms = self._win_lists(queries)
+        win_row, win_lo, win_hi = self._assemble_windows(win_lists)
+        if with_terms:
+            return win_row, win_lo, win_hi, max([1] + n_terms)
+        return win_row, win_lo, win_hi
+
     def search_async(
         self,
         queries: Sequence[Query],
@@ -339,34 +462,32 @@ class ExactEngine:
     ):
         """Dispatch a batch and return finalize() -> (scores, ids, payloads).
 
-        The jit call returns immediately (JAX async dispatch); deferring
+        The jit calls return immediately (JAX async dispatch); deferring
         the host sync to finalize() lets callers pipeline many batches —
         host prep of batch i+1 overlaps device compute and result
         transfer of batch i.
+
+        Queries are dispatched in COST BUCKETS (powers of 4 over their
+        posting-window count) so padding is per bucket: on Zipf corpora
+        the p99/p50 window-count ratio is ~20x, and one heavy-tail query
+        must not inflate every query's gather/sort width.  Dense
+        dispatches are additionally capped so the [q, N] accumulator
+        stays under `accumulator_budget`.
         """
         import jax.numpy as jnp
 
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
         dev = self.dev
-
-        # Sub-batch so the [Q, N] accumulator fits the budget.
-        q_cap = max(1, self.accumulator_budget // (4 * (dev.n_docs + 1)))
-        if len(queries) > q_cap:
-            fins = [
-                self.search_async(list(queries)[i : i + q_cap], k, filter_mask)
-                for i in range(0, len(queries), q_cap)
-            ]
-
-            def finalize_parts():
-                parts = [f() for f in fins]
-                return (
-                    np.concatenate([p[0] for p in parts]),
-                    np.concatenate([p[1] for p in parts]),
-                    np.concatenate([p[2] for p in parts]),
-                )
-
-            return finalize_parts
+        queries = list(queries)
+        qn = len(queries)
+        use_sparse = not self.compact and (
+            self.strategy == "sparse"
+            or (
+                self.strategy == "auto"
+                and dev.n_docs >= self.SPARSE_MIN_DOCS
+            )
+        )
 
         if filter_mask is not None:
             fm = np.ones(dev.n_docs + 1, dtype=np.float32)
@@ -376,51 +497,104 @@ class ExactEngine:
             fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
 
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
+
+        n_terms: List[int] = []
         if self.compact:
-            grp_ids = self._prepare_compact(queries)
-            scores_dev, ids_dev = _jitted_score_and_topk_compact()(
-                self.dev_post_impact,
-                self.dev_post_local,
-                self.dev_tr_range,
-                self.dev_tr_start,
-                dev.doc_live,
-                fm_dev,
-                jnp.asarray(grp_ids),
-                k=kk,
-                n_docs=dev.n_docs,
-                range_size=self._ranges.range_size,
+            lists = self._grp_lists(queries)
+            sizes = np.fromiter(
+                (x.size for x in lists), dtype=np.int64, count=qn
             )
         else:
-            win_row, win_lo, win_hi = self._prepare(queries)
-            scores_dev, ids_dev = _jitted_score_and_topk()(
-                dev.post_docid,
-                dev.post_impact,
-                dev.doc_live,
-                jnp.asarray(win_row),
-                jnp.asarray(win_lo),
-                jnp.asarray(win_hi),
-                fm_dev,
-                k=kk,
-                n_docs=dev.n_docs,
+            lists, n_terms = self._win_lists(queries)
+            sizes = np.fromiter(
+                (x[0].size for x in lists), dtype=np.int64, count=qn
             )
 
+        bucket_of = np.zeros(qn, dtype=np.int64)
+        b = 32
+        while np.any(sizes > b):
+            bucket_of[sizes > b] += 1
+            b *= 4
+
+        # The sparse path allocates no [q, N] accumulator; no cap needed.
+        if use_sparse and not self.compact:
+            q_cap = 1 << 30
+        else:
+            q_cap = max(1, self.accumulator_budget // (4 * (dev.n_docs + 1)))
+
+        pending = []
+        for bu in np.unique(bucket_of):
+            bidx = np.flatnonzero(bucket_of == bu)
+            for i0 in range(0, bidx.size, q_cap):
+                sub = bidx[i0 : i0 + q_cap]
+                if self.compact:
+                    grp_ids = self._assemble_compact([lists[j] for j in sub])
+                    out = _jitted_score_and_topk_compact()(
+                        self.dev_post_impact,
+                        self.dev_post_local,
+                        self.dev_tr_range,
+                        self.dev_tr_start,
+                        dev.doc_live,
+                        fm_dev,
+                        jnp.asarray(grp_ids),
+                        k=kk,
+                        n_docs=dev.n_docs,
+                        range_size=self._ranges.range_size,
+                    )
+                elif use_sparse:
+                    wr, wl, wh = self._assemble_windows(
+                        [lists[j] for j in sub]
+                    )
+                    mt = max([1] + [n_terms[j] for j in sub])
+                    out = _jitted_score_and_topk_sparse()(
+                        dev.post_docid,
+                        dev.post_impact,
+                        dev.doc_live,
+                        jnp.asarray(wr),
+                        jnp.asarray(wl),
+                        jnp.asarray(wh),
+                        fm_dev,
+                        k=kk,
+                        n_docs=dev.n_docs,
+                        seg_steps=int(mt - 1).bit_length(),
+                    )
+                else:
+                    wr, wl, wh = self._assemble_windows(
+                        [lists[j] for j in sub]
+                    )
+                    out = _jitted_score_and_topk()(
+                        dev.post_docid,
+                        dev.post_impact,
+                        dev.doc_live,
+                        jnp.asarray(wr),
+                        jnp.asarray(wl),
+                        jnp.asarray(wh),
+                        fm_dev,
+                        k=kk,
+                        n_docs=dev.n_docs,
+                    )
+                pending.append((sub, out))
+
+        payload_arr = np.asarray(dev.host.doc_payload)
+
         def finalize():
-            scores = np.asarray(scores_dev)[:, :k]
-            ids = np.asarray(ids_dev, dtype=np.int64)[:, :k]
-            if scores.shape[1] < k:
-                # Fewer doc slots than k: pad back to the [Q, k] contract.
-                pad = k - scores.shape[1]
-                scores = np.pad(
-                    scores, ((0, 0), (0, pad)), constant_values=-np.inf
-                )
-                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-            valid = np.isfinite(scores)
-            ids = np.where(valid, ids, -1)
-            payloads = np.where(
-                valid,
-                np.asarray(dev.host.doc_payload)[np.maximum(ids, 0)],
-                -1,
-            )
+            scores = np.full((qn, k), -np.inf, dtype=np.float32)
+            ids = np.full((qn, k), -1, dtype=np.int64)
+            payloads = np.full((qn, k), -1, dtype=np.int64)
+            for sub, (s_dev, i_dev) in pending:
+                s = np.asarray(s_dev)[:, :k]
+                i = np.asarray(i_dev, dtype=np.int64)[:, :k]
+                if s.shape[1] < k:
+                    # Fewer doc slots than k: pad to the [q, k] contract.
+                    pad = k - s.shape[1]
+                    s = np.pad(
+                        s, ((0, 0), (0, pad)), constant_values=-np.inf
+                    )
+                    i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+                valid = np.isfinite(s)
+                i = np.where(valid, i, -1)
+                p = np.where(valid, payload_arr[np.maximum(i, 0)], -1)
+                scores[sub], ids[sub], payloads[sub] = s, i, p
             return scores, ids, payloads
 
         return finalize
