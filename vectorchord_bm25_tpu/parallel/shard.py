@@ -989,14 +989,19 @@ class ShardedIndex:
 
             acc = jax.vmap(accumulate)(doc, sc)
             acc = acc * doc_live[0][None, :] * fmask[0][None, :]
-            acc = acc[:, :nmax]
-            masked = jnp.where(acc > 0.0, acc, -jnp.inf)
             if k > nmax:
+                masked = jnp.where(
+                    acc[:, :nmax] > 0.0, acc[:, :nmax], -jnp.inf
+                )
                 masked = jnp.pad(
                     masked, ((0, 0), (0, k - nmax)),
                     constant_values=-jnp.inf,
                 )
-            l_scores, l_ids = jax.lax.top_k(masked, k)
+                l_scores, l_ids = jax.lax.top_k(masked, k)
+            else:
+                from ..ops.topk import dense_topk
+
+                l_scores, l_ids = dense_topk(acc, k, nmax)
             invalid = jnp.int32(np.iinfo(np.int32).max)
             g_ids = jnp.where(
                 jnp.isfinite(l_scores),
@@ -1124,16 +1129,22 @@ class ShardedIndex:
                 acc = jnp.zeros(nmax + 1, dtype=jnp.float32)
                 return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
 
-            acc = jax.vmap(accumulate)(d, sc)[:, :nmax]
-            masked = jnp.where(acc > 0.0, acc, -jnp.inf)
+            acc = jax.vmap(accumulate)(d, sc)
             if k > nmax:
                 # Small shards: pad so every shard still offers k
                 # candidate slots to the global merge.
+                masked = jnp.where(
+                    acc[:, :nmax] > 0.0, acc[:, :nmax], -jnp.inf
+                )
                 masked = jnp.pad(
                     masked, ((0, 0), (0, k - nmax)),
                     constant_values=-jnp.inf,
                 )
-            l_scores, l_ids = jax.lax.top_k(masked, k)  # [Q, k]
+                l_scores, l_ids = jax.lax.top_k(masked, k)  # [Q, k]
+            else:
+                from ..ops.topk import dense_topk
+
+                l_scores, l_ids = dense_topk(acc, k, nmax)
             invalid = jnp.int32(np.iinfo(np.int32).max)
             g_ids = jnp.where(
                 jnp.isfinite(l_scores),

@@ -389,21 +389,32 @@ class BlockMaxEngine:
         }
 
     def _prepare(self, queries: Sequence[Query]):
-        """Host prep: only term-id lookup; everything else is on device."""
+        """Host prep: only term-id lookup (one vectorized searchsorted
+        over the concatenated batch keys); everything else is on device."""
         seg = self.segment
         qn = len(queries)
-        term_ids = []
-        for query in queries:
-            ids = seg.lookup_tokens(query.keys)
-            term_ids.append(ids[ids >= 0].astype(np.int64))
-        t_max = _bucket(max((x.size for x in term_ids), default=1), 4)
-        l_needed = 1
+        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
+        kcounts = np.fromiter(
+            (a.size for a in key_arrays), dtype=np.int64, count=qn
+        )
+        if kcounts.sum() == 0:
+            return np.full((qn, 1), seg.n_tokens, dtype=np.int32), 8
+        ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(np.int64)
+        qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
+        keep = ids >= 0
+        ids, qidx = ids[keep], qidx[keep]
+        sizes = np.bincount(qidx, minlength=qn).astype(np.int64)
+        t_max = _bucket(int(sizes.max(initial=1)) or 1, 4)
         q_tid = np.full((qn, t_max), seg.n_tokens, dtype=np.int32)
-        for i, ids in enumerate(term_ids):
-            q_tid[i, : ids.size] = ids
-            if ids.size:
-                l_needed = max(l_needed, int(self._term_l[ids].max()))
-        return q_tid, _bucket(l_needed, 8)
+        if ids.size:
+            pos = np.arange(ids.size, dtype=np.int64) - np.repeat(
+                np.cumsum(sizes) - sizes, sizes
+            )
+            q_tid[qidx, pos] = ids
+            l_needed = int(self._term_l[ids].max())
+        else:
+            l_needed = 1
+        return q_tid, _bucket(max(1, l_needed), 8)
 
     def search_async(
         self,

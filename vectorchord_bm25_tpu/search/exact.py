@@ -363,41 +363,69 @@ class ExactEngine:
         }
 
     def _grp_lists(self, queries: Sequence[Query]):
-        """Per-query group-id lists (CSR slices of the range index, the
-        compact analog of block lists)."""
-        seg = self.segment
-        ri = self._ranges
-        starts = ri.token_tr_start
-        grp_lists = []
-        for query in queries:
-            ids = seg.lookup_tokens(query.keys)
-            ids = ids[ids >= 0].astype(np.int64)
-            if ids.size:
-                los = starts[ids]
-                his = starts[ids + 1]
-                grps = np.concatenate(
-                    [np.arange(lo, hi, dtype=np.int64) for lo, hi in zip(los, his)]
-                )
-            else:
-                grps = np.zeros(0, dtype=np.int64)
-            grp_lists.append(grps)
-        return grp_lists
+        """Batch-vectorized per-query (term, range) group ids (CSR slices
+        of the range index, the compact analog of block lists).
 
-    def _assemble_compact(self, grp_lists):
-        """Pad a subset's group lists to a bucketed [q, G] id matrix."""
+        Returns (grps, starts, sizes): flat group ids grouped by query
+        (query q owns [starts[q], starts[q+1]))."""
+        seg = self.segment
+        tts = self._ranges.token_tr_start
+        qn = len(queries)
+        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
+        kcounts = np.fromiter(
+            (a.size for a in key_arrays), dtype=np.int64, count=qn
+        )
+        empty = np.zeros(0, dtype=np.int64)
+        if kcounts.sum() == 0:
+            sizes = np.zeros(qn, dtype=np.int64)
+            return empty, np.zeros(qn + 1, dtype=np.int64), sizes
+        ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(np.int64)
+        qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
+        keep = ids >= 0
+        ids, qidx = ids[keep], qidx[keep]
+        los = tts[ids].astype(np.int64)
+        cnt = tts[ids + 1].astype(np.int64) - los
+        total = int(cnt.sum())
+        if total == 0:
+            sizes = np.zeros(qn, dtype=np.int64)
+            return empty, np.zeros(qn + 1, dtype=np.int64), sizes
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        grps = np.repeat(los, cnt) + within
+        q_of = np.repeat(qidx, cnt)
+        sizes = np.bincount(q_of, minlength=qn).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        return grps, starts, sizes
+
+    def _assemble_compact(self, lists, sub: np.ndarray):
+        """Pad the subset `sub`'s group lists to a bucketed [q, G]
+        matrix (vectorized)."""
+        grps, starts, sizes = lists
         ri = self._ranges
         m_pad = ri.tr_range.size  # the appended pad slot
-        g_max = _bucket(max((x.size for x in grp_lists), default=1), 8)
-        grp_ids = np.full((len(grp_lists), g_max), m_pad, dtype=np.int32)
-        for i, grps in enumerate(grp_lists):
-            if grps.size:
-                grp_ids[i, : grps.size] = grps
+        sub = np.asarray(sub, dtype=np.int64)
+        sub_sizes = sizes[sub]
+        q = sub.size
+        g_max = _bucket(int(sub_sizes.max(initial=1)) or 1, 8)
+        grp_ids = np.full((q, g_max), m_pad, dtype=np.int32)
+        total = int(sub_sizes.sum())
+        if total:
+            ofs = np.cumsum(sub_sizes) - sub_sizes
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                ofs, sub_sizes
+            )
+            src = np.repeat(starts[sub], sub_sizes) + pos
+            dst_q = np.repeat(np.arange(q, dtype=np.int64), sub_sizes)
+            grp_ids[dst_q, pos] = grps[src]
         return grp_ids
 
     def _prepare_compact(self, queries: Sequence[Query]):
         """Host-side batch assembly (single bucket): padded per-query
         group-id lists."""
-        return self._assemble_compact(self._grp_lists(queries))
+        return self._assemble_compact(
+            self._grp_lists(queries), np.arange(len(queries))
+        )
 
     #: "auto" strategy switches to the sparse sort path at this corpus
     #: size (measured crossover on v5e: the dense path's scatter +
@@ -405,41 +433,78 @@ class ExactEngine:
     SPARSE_MIN_DOCS = 1 << 20
 
     def _win_lists(self, queries: Sequence[Query]):
-        """Per-query posting-row window lists (row id + live-lane
-        bounds) covering each term's flat span, plus per-query matched
-        term counts."""
-        seg = self.segment
-        csr = self.dev.token_flat_start
-        win_lists = []
-        n_terms = []
-        for query in queries:
-            ids = seg.lookup_tokens(query.keys)
-            ids = ids[ids >= 0].astype(np.int64)
-            n_terms.append(ids.size)
-            if ids.size:
-                spans = [
-                    _span_windows(int(csr[t]), int(csr[t + 1])) for t in ids
-                ]
-                rows = np.concatenate([s[0] for s in spans])
-                los = np.concatenate([s[1] for s in spans])
-                his = np.concatenate([s[2] for s in spans])
-            else:
-                rows = los = his = np.zeros(0, dtype=np.int64)
-            win_lists.append((rows, los, his))
-        return win_lists, n_terms
+        """Batch-vectorized window computation: one searchsorted over the
+        concatenated query keys, then a repeat/cumsum CSR expansion of
+        every term span into 128-lane row windows — no per-query Python.
 
-    def _assemble_windows(self, win_lists):
-        """Pad a subset's window lists to bucketed [q, P] matrices."""
-        q = len(win_lists)
-        p_max = _bucket(max((x[0].size for x in win_lists), default=1), 8)
+        Returns ((rows, lo, hi, starts, sizes), n_terms): flat window
+        arrays grouped by query (query q owns [starts[q], starts[q+1])),
+        per-query window counts, and per-query matched-term counts.
+        """
+        seg = self.segment
+        csr = np.asarray(self.dev.token_flat_start)
+        qn = len(queries)
+        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
+        kcounts = np.fromiter(
+            (a.size for a in key_arrays), dtype=np.int64, count=qn
+        )
+        empty = np.zeros(0, dtype=np.int64)
+        if kcounts.sum() == 0:
+            sizes = np.zeros(qn, dtype=np.int64)
+            starts = np.zeros(qn + 1, dtype=np.int64)
+            return (empty, empty, empty, starts, sizes), np.zeros(
+                qn, dtype=np.int64
+            )
+        ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(np.int64)
+        qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
+        keep = ids >= 0
+        ids, qidx = ids[keep], qidx[keep]
+        n_terms = np.bincount(qidx, minlength=qn).astype(np.int64)
+
+        s = csr[ids].astype(np.int64)
+        e = csr[ids + 1].astype(np.int64)
+        nz = e > s
+        s, e, qidx = s[nz], e[nz], qidx[nz]
+        r0 = s // BLOCK
+        cnt = (e - 1) // BLOCK - r0 + 1
+        total = int(cnt.sum())
+        if total == 0:
+            sizes = np.zeros(qn, dtype=np.int64)
+            starts = np.zeros(qn + 1, dtype=np.int64)
+            return (empty, empty, empty, starts, sizes), n_terms
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        rows = np.repeat(r0, cnt) + within
+        lo = np.maximum(np.repeat(s, cnt) - rows * BLOCK, 0)
+        hi = np.minimum(np.repeat(e, cnt) - rows * BLOCK, BLOCK)
+        q_of = np.repeat(qidx, cnt)  # ascending: queries stay grouped
+        sizes = np.bincount(q_of, minlength=qn).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        return (rows, lo, hi, starts, sizes), n_terms
+
+    def _assemble_windows(self, wins, sub: np.ndarray):
+        """Pad the subset `sub`'s windows to bucketed [q, P] matrices
+        (vectorized scatter into the padded layout)."""
+        rows, lo, hi, starts, sizes = wins
+        sub = np.asarray(sub, dtype=np.int64)
+        sub_sizes = sizes[sub]
+        q = sub.size
+        p_max = _bucket(int(sub_sizes.max(initial=1)) or 1, 8)
         win_row = np.full((q, p_max), self.dev.n_rows, dtype=np.int32)
         win_lo = np.zeros((q, p_max), dtype=np.int32)
         win_hi = np.zeros((q, p_max), dtype=np.int32)
-        for i, (rows, los, his) in enumerate(win_lists):
-            if rows.size:
-                win_row[i, : rows.size] = rows
-                win_lo[i, : rows.size] = los
-                win_hi[i, : rows.size] = his
+        total = int(sub_sizes.sum())
+        if total:
+            ofs = np.cumsum(sub_sizes) - sub_sizes
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                ofs, sub_sizes
+            )
+            src = np.repeat(starts[sub], sub_sizes) + pos
+            dst_q = np.repeat(np.arange(q, dtype=np.int64), sub_sizes)
+            win_row[dst_q, pos] = rows[src]
+            win_lo[dst_q, pos] = lo[src]
+            win_hi[dst_q, pos] = hi[src]
         return win_row, win_lo, win_hi
 
     def _prepare(self, queries: Sequence[Query], with_terms: bool = False):
@@ -448,10 +513,12 @@ class ExactEngine:
 
         with_terms=True additionally returns the max matched-term count
         in the batch (bounds the sparse path's segment lengths)."""
-        win_lists, n_terms = self._win_lists(queries)
-        win_row, win_lo, win_hi = self._assemble_windows(win_lists)
+        wins, n_terms = self._win_lists(queries)
+        win_row, win_lo, win_hi = self._assemble_windows(
+            wins, np.arange(len(queries))
+        )
         if with_terms:
-            return win_row, win_lo, win_hi, max([1] + n_terms)
+            return win_row, win_lo, win_hi, int(max(1, n_terms.max(initial=1)))
         return win_row, win_lo, win_hi
 
     def search_async(
@@ -498,23 +565,25 @@ class ExactEngine:
 
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
 
-        n_terms: List[int] = []
+        n_terms = np.ones(qn, dtype=np.int64)
         if self.compact:
             lists = self._grp_lists(queries)
-            sizes = np.fromiter(
-                (x.size for x in lists), dtype=np.int64, count=qn
-            )
+            sizes = lists[2]
         else:
             lists, n_terms = self._win_lists(queries)
-            sizes = np.fromiter(
-                (x[0].size for x in lists), dtype=np.int64, count=qn
-            )
+            sizes = lists[4]
 
+        # Bucket only when padding waste is material: splitting costs a
+        # fixed dispatch overhead per bucket (~0.5 ms), worth paying only
+        # when batch-max padding would gather far more dead lanes than
+        # that (65536 windows ~ 64 MB of wasted gather traffic).
         bucket_of = np.zeros(qn, dtype=np.int64)
-        b = 32
-        while np.any(sizes > b):
-            bucket_of[sizes > b] += 1
-            b *= 4
+        waste = qn * int(sizes.max(initial=0)) - int(sizes.sum())
+        if waste > 65536:
+            b = 32
+            while np.any(sizes > b):
+                bucket_of[sizes > b] += 1
+                b *= 4
 
         # The sparse path allocates no [q, N] accumulator; no cap needed.
         if use_sparse and not self.compact:
@@ -528,7 +597,7 @@ class ExactEngine:
             for i0 in range(0, bidx.size, q_cap):
                 sub = bidx[i0 : i0 + q_cap]
                 if self.compact:
-                    grp_ids = self._assemble_compact([lists[j] for j in sub])
+                    grp_ids = self._assemble_compact(lists, sub)
                     out = _jitted_score_and_topk_compact()(
                         self.dev_post_impact,
                         self.dev_post_local,
@@ -542,10 +611,8 @@ class ExactEngine:
                         range_size=self._ranges.range_size,
                     )
                 elif use_sparse:
-                    wr, wl, wh = self._assemble_windows(
-                        [lists[j] for j in sub]
-                    )
-                    mt = max([1] + [n_terms[j] for j in sub])
+                    wr, wl, wh = self._assemble_windows(lists, sub)
+                    mt = int(max(1, n_terms[sub].max(initial=1)))
                     out = _jitted_score_and_topk_sparse()(
                         dev.post_docid,
                         dev.post_impact,
@@ -559,9 +626,7 @@ class ExactEngine:
                         seg_steps=int(mt - 1).bit_length(),
                     )
                 else:
-                    wr, wl, wh = self._assemble_windows(
-                        [lists[j] for j in sub]
-                    )
+                    wr, wl, wh = self._assemble_windows(lists, sub)
                     out = _jitted_score_and_topk()(
                         dev.post_docid,
                         dev.post_impact,

@@ -135,24 +135,32 @@ class HybridEngine:
 
     def _route(self, queries: Sequence[Query]) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (strategy [Q] in {0: one-shot, 1: dense, 2: iterative},
-        total_ranges [Q])."""
+        total_ranges [Q]).  One vectorized lookup over the concatenated
+        batch keys — no per-query Python."""
         seg = self.segment
         term_l = self.blockmax._term_l
         df_budget = max(1.0, self.route_threshold * seg.n_docs)
-        strategy = np.zeros(len(queries), dtype=np.int8)
-        ranges = np.zeros(len(queries), dtype=np.int64)
-        for i, query in enumerate(queries):
-            ids = seg.lookup_tokens(query.keys)
-            ids = ids[ids >= 0]
-            tr = int(term_l[ids].sum()) if ids.size else 0
-            df = int(seg.token_df[ids].sum()) if ids.size else 0
-            ranges[i] = tr
-            if tr <= self.oneshot_cap:
-                strategy[i] = 0
-            elif df <= df_budget:
-                strategy[i] = 1
-            else:
-                strategy[i] = 2
+        qn = len(queries)
+        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
+        kcounts = np.fromiter(
+            (a.size for a in key_arrays), dtype=np.int64, count=qn
+        )
+        ranges = np.zeros(qn, dtype=np.int64)
+        dfs = np.zeros(qn, dtype=np.int64)
+        if kcounts.sum():
+            ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(
+                np.int64
+            )
+            qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
+            keep = ids >= 0
+            ids, qidx = ids[keep], qidx[keep]
+            np.add.at(ranges, qidx, term_l[ids])
+            np.add.at(dfs, qidx, seg.token_df[ids])
+        strategy = np.where(
+            ranges <= self.oneshot_cap,
+            np.int8(0),
+            np.where(dfs <= df_budget, np.int8(1), np.int8(2)),
+        )
         return strategy, ranges
 
     def search_async(
