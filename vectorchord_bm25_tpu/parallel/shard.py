@@ -1047,47 +1047,68 @@ class ShardedIndex:
     # ------------------------------------------------------------------
     def _prepare(self, queries: Sequence[Query]):
         """Per-shard padded posting-row windows for a replicated query
-        batch (dense exact engine; see search/exact.py's _prepare)."""
-        from ..search.exact import _span_windows
-
+        batch (dense exact engine).  One global token lookup over the
+        concatenated batch keys, then a vectorized repeat/cumsum CSR
+        expansion per shard (see search/exact.py's _win_lists)."""
         q = len(queries)
-        gids = [self.lookup_tokens(query.keys) for query in queries]
+        key_arrays = [np.asarray(qu.keys, dtype="S16") for qu in queries]
+        kcounts = np.fromiter(
+            (a.size for a in key_arrays), dtype=np.int64, count=q
+        )
+        if kcounts.sum():
+            g_all = self.lookup_tokens(np.concatenate(key_arrays)).astype(
+                np.int64
+            )
+            q_all = np.repeat(np.arange(q, dtype=np.int64), kcounts)
+            keep = g_all >= 0
+            g_all, q_all = g_all[keep], q_all[keep]
+        else:
+            g_all = q_all = np.zeros(0, dtype=np.int64)
 
         per_shard = []
         p_needed = 1
         for si, view in enumerate(self.views):
             csr = self._flat_csr[si]
-            wins_q = []
-            for g in gids:
-                g = g[g >= 0]
-                lids = view.local_tid[g] if g.size else np.zeros(0, dtype=np.int64)
-                lids = lids[lids >= 0]
-                if lids.size:
-                    spans = [
-                        _span_windows(int(csr[t]), int(csr[t + 1]))
-                        for t in lids
-                    ]
-                    rows = np.concatenate([s[0] for s in spans])
-                    los = np.concatenate([s[1] for s in spans])
-                    his = np.concatenate([s[2] for s in spans])
-                else:
-                    rows = los = his = np.zeros(0, dtype=np.int64)
-                wins_q.append((rows, los, his))
-                p_needed = max(p_needed, rows.size)
-            per_shard.append(wins_q)
+            lids = view.local_tid[g_all] if g_all.size else g_all
+            ok = lids >= 0
+            lt, qt = lids[ok], q_all[ok]
+            if lt.size:
+                s = csr[lt].astype(np.int64)
+                e = csr[lt + 1].astype(np.int64)
+                nz = e > s
+                s, e, qt = s[nz], e[nz], qt[nz]
+            if lt.size and s.size:
+                r0 = s // BLOCK
+                cnt = (e - 1) // BLOCK - r0 + 1
+                total = int(cnt.sum())
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                rows = np.repeat(r0, cnt) + within
+                lo = np.maximum(np.repeat(s, cnt) - rows * BLOCK, 0)
+                hi = np.minimum(np.repeat(e, cnt) - rows * BLOCK, BLOCK)
+                q_of = np.repeat(qt, cnt)
+                sizes = np.bincount(q_of, minlength=q).astype(np.int64)
+                p_needed = max(p_needed, int(sizes.max(initial=1)))
+            else:
+                rows = lo = hi = np.zeros(0, dtype=np.int64)
+                q_of = np.zeros(0, dtype=np.int64)
+                sizes = np.zeros(q, dtype=np.int64)
+            per_shard.append((rows, lo, hi, q_of, sizes))
 
         p_max = _bucket(p_needed, 8)
         shape = (self.n_shards, q, p_max)
         win_row = np.full(shape, self._rpmax, dtype=np.int32)
         win_lo = np.zeros(shape, dtype=np.int32)
         win_hi = np.zeros(shape, dtype=np.int32)
-        for si in range(self.n_shards):
-            for qi in range(q):
-                rows, los, his = per_shard[si][qi]
-                if rows.size:
-                    win_row[si, qi, : rows.size] = rows
-                    win_lo[si, qi, : rows.size] = los
-                    win_hi[si, qi, : rows.size] = his
+        for si, (rows, lo, hi, q_of, sizes) in enumerate(per_shard):
+            if rows.size:
+                pos = np.arange(rows.size, dtype=np.int64) - np.repeat(
+                    np.cumsum(sizes) - sizes, sizes
+                )
+                win_row[si, q_of, pos] = rows
+                win_lo[si, q_of, pos] = lo
+                win_hi[si, q_of, pos] = hi
         return win_row, win_lo, win_hi
 
     # ------------------------------------------------------------------
@@ -1177,14 +1198,20 @@ class ShardedIndex:
         """Hybrid strategy per query: 1 = compact full scan (selective),
         2 = iterative pruned (df-heavy) — mirrors HybridEngine's router."""
         df_budget = max(1.0, 0.10 * max(self.n_docs, 1))
-        strategy = np.ones(len(queries), dtype=np.int8)
-        for i, query in enumerate(queries):
-            ids = self.lookup_tokens(query.keys)
-            ids = ids[ids >= 0]
-            df = int(self.token_df[ids].sum()) if ids.size else 0
-            if df > df_budget:
-                strategy[i] = 2
-        return strategy
+        qn = len(queries)
+        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
+        kcounts = np.fromiter(
+            (a.size for a in key_arrays), dtype=np.int64, count=qn
+        )
+        dfs = np.zeros(qn, dtype=np.int64)
+        if kcounts.sum():
+            ids = self.lookup_tokens(np.concatenate(key_arrays)).astype(
+                np.int64
+            )
+            qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
+            keep = ids >= 0
+            np.add.at(dfs, qidx[keep], self.token_df[ids[keep]])
+        return np.where(dfs > df_budget, np.int8(2), np.int8(1))
 
     def _device_search(self, queries, k, fmask_dev):
         """Top-k over the sealed shards only (device path)."""
