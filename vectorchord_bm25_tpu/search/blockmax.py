@@ -233,6 +233,124 @@ def _jitted_kernel():
     )
 
 
+def _rangescan_kernel(
+    post_impact,  # [P] float32 precomputed per-posting scores (pad = 0)
+    post_local,  # [P] uint8 range-relative doc ids
+    doc_live,  # [N+1] float32
+    filter_mask,  # [N+1] float32
+    tr_range,  # [M+1] int32 (pad slot: INT_MAX)
+    tr_start,  # [M+2] int32
+    token_tr_start,  # [V+2] int32 CSR
+    q_tid,  # [Q, T] int32 (pad = V)
+    *,
+    k: int,
+    chunk: int,
+    lmax: int,
+    range_size: int,
+    n_ranges: int,
+    n_docs: int,
+    use_pallas: bool,
+):
+    """Exhaustive range-aligned scoring (no pruning): sweeps ALL ranges
+    in fixed chunks inside a fori_loop.  Per chunk it locates each
+    (term, range) posting span via searchsorted over the term's sorted
+    range list, accumulates the chunk's [Q, C, RS] scores with the
+    one-hot MXU kernel (ops/score_kernel.py) — a contiguous write, no
+    [Q, N] scatter — and lays the result into the accumulator with a
+    dynamic_update_slice.  Exhaustive => exact; final top-k is
+    ops.topk.dense_topk.
+
+    Measured on v5e at 4M docs this loses to handing heavy queries to
+    the exact engine (11.7 s vs 0.54 s for 14 heavy queries — the
+    one-hot kernel's small-matmul grid is latency-bound and the
+    window gather materializes [rows, T*RS] in HBM), so HybridEngine's
+    "auto" heavy mode prefers "exact"; this path stays as an explicit
+    `heavy_mode="rangescan"` option and as the scatter-free reference
+    for future kernel work.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.score_kernel import fused_range_scores
+    from ..ops.topk import dense_topk
+
+    q, t = q_tid.shape
+    rs = range_size
+    c = chunk
+    n_chunks = -(-n_ranges // c)
+    m_pad = tr_range.shape[0] - 1
+
+    base = token_tr_start[q_tid]  # [Q, T]
+    count = token_tr_start[q_tid + 1] - base
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (q, t, lmax), 2)
+    widx = jnp.minimum(base[..., None] + l_iota, m_pad)
+    lmask = l_iota < count[..., None]
+    qt_range = jnp.where(lmask, tr_range[widx], _INT_MAX)
+    qt_start = jnp.where(lmask, tr_start[widx], 0)
+    qt_len = jnp.where(lmask, tr_start[widx + 1] - tr_start[widx], 0)
+
+    rs_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, rs), 3)
+
+    def body(ci, acc):
+        cand_r = ci * c + jax.lax.broadcasted_iota(jnp.int32, (q, c), 1)
+
+        def locate(qt_range_q, cand_q):
+            def per_term(ranges_t):
+                i = jnp.searchsorted(ranges_t, cand_q)
+                return jnp.minimum(i, lmax - 1)
+
+            return jax.vmap(per_term)(qt_range_q)  # [T, C]
+
+        idx = jax.vmap(locate)(qt_range, cand_r)  # [Q, T, C]
+        hit_r = jnp.take_along_axis(qt_range, idx, axis=2)
+        found = hit_r == cand_r[:, None, :]
+        start = jnp.where(
+            found, jnp.take_along_axis(qt_start, idx, axis=2), 0
+        )
+        length = jnp.where(
+            found, jnp.take_along_axis(qt_len, idx, axis=2), 0
+        )
+
+        if use_pallas:
+            part = fused_range_scores(
+                post_impact, post_local, start, length,
+                rs=rs, interpret=use_pallas == "interpret",
+            )  # [Q, C, RS]
+        else:
+            gidx = start[..., None] + rs_iota  # [Q, T, C, RS]
+            valid = rs_iota < length[..., None]
+            local = post_local[gidx].astype(jnp.int32)
+            sc = jnp.where(
+                valid, post_impact[gidx].astype(jnp.float32), 0.0
+            )
+            qi = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 0)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (q, t, c, rs), 2)
+            part = jnp.zeros((q, c, rs), dtype=jnp.float32)
+            part = part.at[qi, cidx, local].add(sc)
+
+        return jax.lax.dynamic_update_slice(
+            acc, part.reshape(q, c * rs), (0, ci * c * rs)
+        )
+
+    acc = jnp.zeros((q, n_chunks * c * rs), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(0, n_chunks, body, acc)
+    acc = acc[:, :n_docs] * doc_live[:n_docs] * filter_mask[:n_docs]
+    return dense_topk(acc, k, n_docs)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_rangescan():
+    import jax
+
+    return jax.jit(
+        _rangescan_kernel,
+        static_argnames=(
+            "k", "chunk", "lmax", "range_size", "n_ranges", "n_docs",
+            "use_pallas",
+        ),
+    )
+
+
 class BlockMaxEngine:
     """Batched Block-Max pruned search over one sealed segment."""
 
@@ -487,6 +605,81 @@ class BlockMaxEngine:
                 )
                 ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
             valid = np.isfinite(scores) & (ids < self.segment.n_docs) & (ids >= 0)
+            ids = np.where(valid, ids, -1)
+            payloads = np.where(
+                valid, self.segment.doc_payload[np.maximum(ids, 0)], -1
+            )
+            return np.where(valid, scores, -np.inf), ids, payloads
+
+        return finalize
+
+    def search_rangescan_async(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Exhaustive range-sweep scoring (no pruning, no scatter) —
+        the heavy-query path: see _rangescan_kernel.  Exact results,
+        identical contract to search_async."""
+        import jax.numpy as jnp
+
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        if self.posting_mode != "impact":
+            raise ValueError(
+                "rangescan reads precomputed impacts; use "
+                "posting_mode='impact'"
+            )
+        dev = self.dev
+        ri = self.ranges
+        q_tid, lmax = self._prepare(queries)
+
+        if filter_mask is not None:
+            fm = np.ones(dev.n_docs + 1, dtype=np.float32)
+            fm[: dev.n_docs] = np.asarray(filter_mask, dtype=np.float32)
+            fm_dev = jnp.asarray(fm)
+        else:
+            fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
+
+        kk = min(_bucket(k, 1), max(dev.n_docs, 1))
+        # Chunk so one chunk's gathered windows stay ~128 MB:
+        # Q*T*C*RS lanes at 5 B each.
+        qn, t = q_tid.shape
+        budget = (128 << 20) // max(1, qn * t * ri.range_size * 5)
+        chunk = int(min(_bucket(max(64, budget), 1), ri.n_ranges))
+        scores_dev, ids_dev = _jitted_rangescan()(
+            self.dev_post_impact,
+            self.dev_post_local,
+            dev.doc_live,
+            fm_dev,
+            self.dev_tr_range,
+            self.dev_tr_start,
+            self.dev_token_tr_start,
+            jnp.asarray(q_tid),
+            k=kk,
+            chunk=chunk,
+            lmax=lmax,
+            range_size=ri.range_size,
+            n_ranges=ri.n_ranges,
+            n_docs=dev.n_docs,
+            use_pallas=self.use_pallas,
+        )
+
+        def finalize():
+            scores = np.asarray(scores_dev)[:, :k]
+            ids = np.asarray(ids_dev, dtype=np.int64)[:, :k]
+            if scores.shape[1] < k:
+                pad = k - scores.shape[1]
+                scores = np.pad(
+                    scores, ((0, 0), (0, pad)), constant_values=-np.inf
+                )
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            valid = (
+                np.isfinite(scores)
+                & (ids < self.segment.n_docs)
+                & (ids >= 0)
+            )
             ids = np.where(valid, ids, -1)
             payloads = np.where(
                 valid, self.segment.doc_payload[np.maximum(ids, 0)], -1
