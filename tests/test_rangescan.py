@@ -100,12 +100,13 @@ def test_hybrid_heavy_mode_rangescan(rng):
     docs = make_docs(rng, 400, vocab=5)  # tiny vocab => heavy queries
     seg = build_sealed_segment(docs)
     h_pruned = HybridEngine(seg, heavy_mode="pruned")
-    h_scan = HybridEngine(seg, heavy_mode="rangescan")
     queries = [
         Query.from_int_ids(rng.integers(0, 5, size=3).tolist())
         for _ in range(10)
     ]
     s_p, i_p, _ = h_pruned.search(queries, 10)
-    s_s, i_s, _ = h_scan.search(queries, 10)
-    np.testing.assert_allclose(s_s, s_p, rtol=1e-5, atol=1e-6)
-    np.testing.assert_array_equal(i_s >= 0, i_p >= 0)
+    for mode in ("rangescan", "exact"):
+        h = HybridEngine(seg, heavy_mode=mode)
+        s_m, i_m, _ = h.search(queries, 10)
+        np.testing.assert_allclose(s_m, s_p, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i_m >= 0, i_p >= 0)
