@@ -428,9 +428,10 @@ class ExactEngine:
         )
 
     #: "auto" strategy switches to the sparse sort path at this corpus
-    #: size (measured crossover on v5e: the dense path's scatter +
-    #: corpus-wide top-k dominate past ~1M docs, DESIGN.md).
-    SPARSE_MIN_DOCS = 1 << 20
+    #: size (measured on v5e: dense and sparse trade places around 1M
+    #: docs run-to-run; sparse wins consistently from ~4M — 289 vs 235
+    #: QPS at 4M, 128 vs 119 at 8.4M, DESIGN.md).
+    SPARSE_MIN_DOCS = 1 << 21
 
     def _win_lists(self, queries: Sequence[Query]):
         """Batch-vectorized window computation: one searchsorted over the
