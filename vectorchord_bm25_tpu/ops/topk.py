@@ -45,10 +45,12 @@ def dense_topk(acc, k: int, n_docs: int, block: int = 1024):
 
     q, m = acc.shape
     t = m // block  # full blocks; the ragged tail is handled separately
-    # Crossover measured on v5e: single-stage top_k wins up to ~131k
-    # docs (2.7 vs 2.8 ms), the hierarchy wins from ~1M (10.2 -> 3.2 ms)
-    # and grows with n_docs (37.7 -> 8.3 ms at 4M).
-    if n_docs < (1 << 19) or t < max(2 * k, 8):
+    # Measured on v5e: at [32, 131k] the two are equal (2.8 vs 2.7 ms)
+    # but the hierarchy's advantage scales with total elements — plain
+    # top_k costs ~0.55 us/element, so a [492, 131k] batch pays ~35 ms
+    # where the hierarchy pays ~8; from 1M docs it wins at any batch
+    # (10.2 -> 3.2 ms at [32, 1M], 37.7 -> 8.3 at [32, 4M]).
+    if n_docs < (1 << 17) or t < max(2 * k, 8):
         masked = jnp.where(acc[:, :n_docs] > 0.0, acc[:, :n_docs], -jnp.inf)
         return jax.lax.top_k(masked, k)
 

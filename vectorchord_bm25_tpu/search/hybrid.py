@@ -64,16 +64,17 @@ class HybridEngine:
             raise ValueError(f"unknown memory_mode {memory_mode!r}")
         if heavy_mode not in ("auto", "pruned", "exact", "rangescan"):
             raise ValueError(f"unknown heavy_mode {heavy_mode!r}")
-        # df-heavy strategy: "pruned" = Block-Max while_loop (wins when
-        # range bounds have traction — small/clustered corpora);
-        # "exact" = hand the heavy group to the exact engine (at
-        # multi-million-doc scale threshold convergence plus per-round
-        # candidate merges cost more than exhaustive scoring: measured
-        # 2.9 s pruned vs 0.54 s dense-exact for 14 heavy queries at 4M
-        # docs); "rangescan" = exhaustive range sweep via the one-hot
-        # MXU kernel (measured slower still at 4M — kept as an explicit
-        # option for layouts where its gather is favorable).  "auto"
-        # switches pruned -> exact at 1M docs.
+        # df-heavy strategy: "exact" = hand the heavy group to the
+        # exact engine — measured fastest at every scale once the exact
+        # path gained hierarchical top-k and cost buckets (131k: hybrid
+        # 1733 vs 1468 QPS; 4M: 14 heavy queries cost 0.54 s exact vs
+        # 2.9 s pruned — threshold convergence plus per-round candidate
+        # merges outweigh exhaustive scoring).  "pruned" = the Block-Max
+        # while_loop (kept selectable: it bounds worst-case *memory*
+        # touched and can win on strongly clustered corpora or
+        # HBM-compact deployments); "rangescan" = exhaustive range sweep
+        # via the one-hot MXU kernel (measured slower at 4M; explicit
+        # option only).  "auto" = exact.
         self.heavy_mode = heavy_mode
         if memory_mode == "compact" and posting_mode == "tf":
             raise ValueError(
@@ -82,14 +83,21 @@ class HybridEngine:
             )
         self.memory_mode = memory_mode
         self.segment = segment
-        self.blockmax = BlockMaxEngine(
-            segment,
-            range_index,
+        # The router only needs host-side range metadata; the pruned
+        # engine's device arrays (5 B/posting) upload lazily on first
+        # use — with the default heavy_mode="exact" they may never be
+        # needed at all.
+        from ..index.ranges import build_range_index
+
+        self.ranges = range_index or build_range_index(segment)
+        self._blockmax: Optional[BlockMaxEngine] = None
+        self._blockmax_args = dict(
             chunk=chunk,
             device=device,
             use_pallas=use_pallas,
             posting_mode=posting_mode,
         )
+        self._term_l = np.diff(self.ranges.token_tr_start)
         self._exact: Optional[ExactEngine] = None
         self._device = device
         self.route_threshold = route_threshold
@@ -97,7 +105,7 @@ class HybridEngine:
         # is clearly below a dense n_docs scan; queries are sub-batched by
         # range-count bucket so small queries don't pay a large query's
         # chunk.  T~4 plus dispatch overhead gives the /8 margin.
-        rs = self.blockmax.ranges.range_size
+        rs = self.ranges.range_size
         if oneshot_cap is None:
             # Opt-in for now: measured on topically-clustered synthetic
             # corpora, one batched dense dispatch beats several bucketed
@@ -107,6 +115,16 @@ class HybridEngine:
             # terms, huge corpora) can enable it explicitly.
             oneshot_cap = 0
         self.oneshot_cap = int(max(0, oneshot_cap))
+
+    @property
+    def blockmax(self) -> BlockMaxEngine:
+        if self._blockmax is None:
+            self._blockmax = BlockMaxEngine(
+                self.segment, self.ranges, **self._blockmax_args
+            )
+            if self._deleted is not None:
+                self._blockmax.set_deleted(self._deleted)
+        return self._blockmax
 
     @property
     def exact(self) -> ExactEngine:
@@ -128,31 +146,39 @@ class HybridEngine:
 
     def set_deleted(self, deleted: np.ndarray) -> None:
         self._deleted = np.asarray(deleted, dtype=bool)
-        self.blockmax.set_deleted(deleted)
-        if (
-            self._exact is not None
-            and self._exact.dev is not self.blockmax.dev
+        if self._blockmax is not None:
+            self._blockmax.set_deleted(deleted)
+        if self._exact is not None and (
+            self._blockmax is None
+            or self._exact.dev is not self._blockmax.dev
         ):
             self._exact.set_deleted(deleted)
 
     def memory_report(self) -> dict:
-        rep = dict(self.blockmax.memory_report())
-        if self._exact is not None and self._exact.dev is not self.blockmax.dev:
-            extra = self._exact.memory_report()
-            rep["dense_strategy_bytes"] = extra["postings"]
-            rep["total"] += extra["postings"]
-            n_post = max(1, int(self.segment.block_n.sum()))
-            rep["bytes_per_posting"] = (
-                rep["total"] - rep["doc_tables"]
-            ) / n_post
-        return rep
+        """Device bytes of the engines actually constructed (lazy parts
+        that were never uploaded cost nothing)."""
+        n_post = max(1, int(self.segment.block_n.sum()))
+        if self._blockmax is not None:
+            rep = dict(self._blockmax.memory_report())
+            if (
+                self._exact is not None
+                and self._exact.dev is not self._blockmax.dev
+            ):
+                extra = self._exact.memory_report()
+                rep["dense_strategy_bytes"] = extra["postings"]
+                rep["total"] += extra["postings"]
+                rep["bytes_per_posting"] = (
+                    rep["total"] - rep["doc_tables"]
+                ) / n_post
+            return rep
+        return dict(self.exact.memory_report())
 
     def _route(self, queries: Sequence[Query]) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (strategy [Q] in {0: one-shot, 1: dense, 2: iterative},
         total_ranges [Q]).  One vectorized lookup over the concatenated
         batch keys — no per-query Python."""
         seg = self.segment
-        term_l = self.blockmax._term_l
+        term_l = self._term_l
         df_budget = max(1.0, self.route_threshold * seg.n_docs)
         qn = len(queries)
         key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
@@ -226,9 +252,7 @@ class HybridEngine:
         )
         heavy = self.heavy_mode
         if heavy == "auto":
-            heavy = (
-                "exact" if self.segment.n_docs >= (1 << 20) else "pruned"
-            )
+            heavy = "exact"
         heavy_fn = {
             "pruned": lambda qs: self.blockmax.search_async(
                 qs, k, filter_mask
