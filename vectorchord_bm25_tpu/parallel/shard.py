@@ -1230,13 +1230,18 @@ class ShardedIndex:
             if self.memory_mode == "fast"
             else self._search_compact
         )
+        # Heavy group: exhaustive dense scoring, mirroring the
+        # single-chip HybridEngine's heavy_mode="exact" default (the
+        # pruned while_loop's threshold rounds measured slower at every
+        # scale once the dense path gained hierarchical top-k; the
+        # pruned engine stays available via engine="blockmax").
         strategy = self._route(queries)
         qn = len(queries)
         scores = np.full((qn, k), -np.inf, dtype=np.float32)
         gids = np.full((qn, k), np.iinfo(np.int32).max, dtype=np.int64)
         for strat, fn in (
             (1, dense_fn),
-            (2, self._search_blockmax),
+            (2, dense_fn),
         ):
             idx = np.flatnonzero(strategy == strat)
             if idx.size:
