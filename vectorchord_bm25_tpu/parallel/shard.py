@@ -1050,20 +1050,10 @@ class ShardedIndex:
         batch (dense exact engine).  One global token lookup over the
         concatenated batch keys, then a vectorized repeat/cumsum CSR
         expansion per shard (see search/exact.py's _win_lists)."""
+        from ..utils.batchkeys import batch_lookup
+
         q = len(queries)
-        key_arrays = [np.asarray(qu.keys, dtype="S16") for qu in queries]
-        kcounts = np.fromiter(
-            (a.size for a in key_arrays), dtype=np.int64, count=q
-        )
-        if kcounts.sum():
-            g_all = self.lookup_tokens(np.concatenate(key_arrays)).astype(
-                np.int64
-            )
-            q_all = np.repeat(np.arange(q, dtype=np.int64), kcounts)
-            keep = g_all >= 0
-            g_all, q_all = g_all[keep], q_all[keep]
-        else:
-            g_all = q_all = np.zeros(0, dtype=np.int64)
+        g_all, q_all = batch_lookup(self.lookup_tokens, queries)
 
         per_shard = []
         p_needed = 1
@@ -1081,10 +1071,9 @@ class ShardedIndex:
                 r0 = s // BLOCK
                 cnt = (e - 1) // BLOCK - r0 + 1
                 total = int(cnt.sum())
-                within = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(cnt) - cnt, cnt
-                )
-                rows = np.repeat(r0, cnt) + within
+                from ..utils.batchkeys import group_positions
+
+                rows = np.repeat(r0, cnt) + group_positions(cnt)
                 lo = np.maximum(np.repeat(s, cnt) - rows * BLOCK, 0)
                 hi = np.minimum(np.repeat(e, cnt) - rows * BLOCK, BLOCK)
                 q_of = np.repeat(qt, cnt)
@@ -1197,20 +1186,14 @@ class ShardedIndex:
     def _route(self, queries: Sequence[Query]) -> np.ndarray:
         """Hybrid strategy per query: 1 = compact full scan (selective),
         2 = iterative pruned (df-heavy) — mirrors HybridEngine's router."""
+        from ..utils.batchkeys import batch_lookup
+
         df_budget = max(1.0, 0.10 * max(self.n_docs, 1))
         qn = len(queries)
-        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
-        kcounts = np.fromiter(
-            (a.size for a in key_arrays), dtype=np.int64, count=qn
-        )
         dfs = np.zeros(qn, dtype=np.int64)
-        if kcounts.sum():
-            ids = self.lookup_tokens(np.concatenate(key_arrays)).astype(
-                np.int64
-            )
-            qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
-            keep = ids >= 0
-            np.add.at(dfs, qidx[keep], self.token_df[ids[keep]])
+        ids, qidx = batch_lookup(self.lookup_tokens, queries)
+        if ids.size:
+            np.add.at(dfs, qidx, self.token_df[ids])
         return np.where(dfs > df_budget, np.int8(2), np.int8(1))
 
     def _device_search(self, queries, k, fmask_dev):
@@ -1244,10 +1227,16 @@ class ShardedIndex:
             (2, dense_fn),
         ):
             idx = np.flatnonzero(strategy == strat)
-            if idx.size:
-                s, i = fn([queries[j] for j in idx], k, fmask_dev)
-                scores[idx] = np.asarray(s)[:, :k]
-                gids[idx] = np.asarray(i)[:, :k]
+            # Cap each dispatch so the per-shard [q, nmax] accumulator
+            # stays under 1 GiB — the heavy group especially must not
+            # materialize an unbounded accumulator (the single-chip
+            # ExactEngine enforces the same budget).
+            q_cap = max(1, (1 << 30) // (4 * (self._nmax + 1)))
+            for i0 in range(0, idx.size, q_cap):
+                sub = idx[i0 : i0 + q_cap]
+                s, i = fn([queries[j] for j in sub], k, fmask_dev)
+                scores[sub] = np.asarray(s)[:, :k]
+                gids[sub] = np.asarray(i)[:, :k]
         return scores, gids
 
     def _search_dense(self, queries, k, fmask_dev):

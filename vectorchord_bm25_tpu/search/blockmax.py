@@ -509,29 +509,20 @@ class BlockMaxEngine:
     def _prepare(self, queries: Sequence[Query]):
         """Host prep: only term-id lookup (one vectorized searchsorted
         over the concatenated batch keys); everything else is on device."""
+        from ..utils.batchkeys import batch_lookup, group_positions
+
         seg = self.segment
         qn = len(queries)
-        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
-        kcounts = np.fromiter(
-            (a.size for a in key_arrays), dtype=np.int64, count=qn
-        )
-        if kcounts.sum() == 0:
-            return np.full((qn, 1), seg.n_tokens, dtype=np.int32), 8
-        ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(np.int64)
-        qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
-        keep = ids >= 0
-        ids, qidx = ids[keep], qidx[keep]
+        ids, qidx = batch_lookup(seg.lookup_tokens, queries)
+        if ids.size == 0:
+            # Match the non-empty path's minimum buckets so the jit
+            # cache is shared with normal batches.
+            return np.full((qn, 4), seg.n_tokens, dtype=np.int32), 8
         sizes = np.bincount(qidx, minlength=qn).astype(np.int64)
         t_max = _bucket(int(sizes.max(initial=1)) or 1, 4)
         q_tid = np.full((qn, t_max), seg.n_tokens, dtype=np.int32)
-        if ids.size:
-            pos = np.arange(ids.size, dtype=np.int64) - np.repeat(
-                np.cumsum(sizes) - sizes, sizes
-            )
-            q_tid[qidx, pos] = ids
-            l_needed = int(self._term_l[ids].max())
-        else:
-            l_needed = 1
+        q_tid[qidx, group_positions(sizes)] = ids
+        l_needed = int(self._term_l[ids].max())
         return q_tid, _bucket(max(1, l_needed), 8)
 
     def search_async(
@@ -643,11 +634,14 @@ class BlockMaxEngine:
             fm_dev = jnp.ones(dev.n_docs + 1, dtype=jnp.float32)
 
         kk = min(_bucket(k, 1), max(dev.n_docs, 1))
-        # Chunk so one chunk's gathered windows stay ~128 MB:
-        # Q*T*C*RS lanes at 5 B each.
+        # Chunk so one chunk's materialized working set stays ~128 MB:
+        # the XLA path holds gidx i32 + local i32 + sc f32 per lane
+        # (~12 B), Q*T*C*RS lanes.  Round DOWN to a power of two so the
+        # cap is honest.
         qn, t = q_tid.shape
-        budget = (128 << 20) // max(1, qn * t * ri.range_size * 5)
-        chunk = int(min(_bucket(max(64, budget), 1), ri.n_ranges))
+        budget = max(64, (128 << 20) // max(1, qn * t * ri.range_size * 12))
+        chunk = 1 << (int(budget).bit_length() - 1)
+        chunk = int(min(chunk, ri.n_ranges))
         scores_dev, ids_dev = _jitted_rangescan()(
             self.dev_post_impact,
             self.dev_post_local,

@@ -32,20 +32,8 @@ from .device import DeviceSegment
 __all__ = ["ExactEngine", "oracle_scores", "oracle_topk"]
 
 
+from ..utils.batchkeys import batch_lookup, group_positions
 from ..utils.buckets import bucket_pow2 as _bucket
-
-
-def _span_windows(s: int, e: int):
-    """Row windows covering the flat posting span [s, e): (rows, lane_lo,
-    lane_hi) with 128 lanes per row."""
-    if e <= s:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    r0, r1 = s // BLOCK, (e - 1) // BLOCK
-    rows = np.arange(r0, r1 + 1, dtype=np.int64)
-    lo = np.maximum(s - rows * BLOCK, 0)
-    hi = np.minimum(e - rows * BLOCK, BLOCK)
-    return rows, lo, hi
 
 
 @functools.lru_cache(maxsize=1)
@@ -371,28 +359,18 @@ class ExactEngine:
         seg = self.segment
         tts = self._ranges.token_tr_start
         qn = len(queries)
-        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
-        kcounts = np.fromiter(
-            (a.size for a in key_arrays), dtype=np.int64, count=qn
-        )
         empty = np.zeros(0, dtype=np.int64)
-        if kcounts.sum() == 0:
+        ids, qidx = batch_lookup(seg.lookup_tokens, queries)
+        if ids.size == 0:
             sizes = np.zeros(qn, dtype=np.int64)
             return empty, np.zeros(qn + 1, dtype=np.int64), sizes
-        ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(np.int64)
-        qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
-        keep = ids >= 0
-        ids, qidx = ids[keep], qidx[keep]
         los = tts[ids].astype(np.int64)
         cnt = tts[ids + 1].astype(np.int64) - los
         total = int(cnt.sum())
         if total == 0:
             sizes = np.zeros(qn, dtype=np.int64)
             return empty, np.zeros(qn + 1, dtype=np.int64), sizes
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt
-        )
-        grps = np.repeat(los, cnt) + within
+        grps = np.repeat(los, cnt) + group_positions(cnt)
         q_of = np.repeat(qidx, cnt)
         sizes = np.bincount(q_of, minlength=qn).astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(sizes)))
@@ -411,10 +389,7 @@ class ExactEngine:
         grp_ids = np.full((q, g_max), m_pad, dtype=np.int32)
         total = int(sub_sizes.sum())
         if total:
-            ofs = np.cumsum(sub_sizes) - sub_sizes
-            pos = np.arange(total, dtype=np.int64) - np.repeat(
-                ofs, sub_sizes
-            )
+            pos = group_positions(sub_sizes)
             src = np.repeat(starts[sub], sub_sizes) + pos
             dst_q = np.repeat(np.arange(q, dtype=np.int64), sub_sizes)
             grp_ids[dst_q, pos] = grps[src]
@@ -445,21 +420,14 @@ class ExactEngine:
         seg = self.segment
         csr = np.asarray(self.dev.token_flat_start)
         qn = len(queries)
-        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
-        kcounts = np.fromiter(
-            (a.size for a in key_arrays), dtype=np.int64, count=qn
-        )
         empty = np.zeros(0, dtype=np.int64)
-        if kcounts.sum() == 0:
+        ids, qidx = batch_lookup(seg.lookup_tokens, queries)
+        if ids.size == 0:
             sizes = np.zeros(qn, dtype=np.int64)
             starts = np.zeros(qn + 1, dtype=np.int64)
             return (empty, empty, empty, starts, sizes), np.zeros(
                 qn, dtype=np.int64
             )
-        ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(np.int64)
-        qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
-        keep = ids >= 0
-        ids, qidx = ids[keep], qidx[keep]
         n_terms = np.bincount(qidx, minlength=qn).astype(np.int64)
 
         s = csr[ids].astype(np.int64)
@@ -473,10 +441,7 @@ class ExactEngine:
             sizes = np.zeros(qn, dtype=np.int64)
             starts = np.zeros(qn + 1, dtype=np.int64)
             return (empty, empty, empty, starts, sizes), n_terms
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt
-        )
-        rows = np.repeat(r0, cnt) + within
+        rows = np.repeat(r0, cnt) + group_positions(cnt)
         lo = np.maximum(np.repeat(s, cnt) - rows * BLOCK, 0)
         hi = np.minimum(np.repeat(e, cnt) - rows * BLOCK, BLOCK)
         q_of = np.repeat(qidx, cnt)  # ascending: queries stay grouped
@@ -497,10 +462,7 @@ class ExactEngine:
         win_hi = np.zeros((q, p_max), dtype=np.int32)
         total = int(sub_sizes.sum())
         if total:
-            ofs = np.cumsum(sub_sizes) - sub_sizes
-            pos = np.arange(total, dtype=np.int64) - np.repeat(
-                ofs, sub_sizes
-            )
+            pos = group_positions(sub_sizes)
             src = np.repeat(starts[sub], sub_sizes) + pos
             dst_q = np.repeat(np.arange(q, dtype=np.int64), sub_sizes)
             win_row[dst_q, pos] = rows[src]

@@ -171,33 +171,43 @@ class HybridEngine:
                     rep["total"] - rep["doc_tables"]
                 ) / n_post
             return rep
-        return dict(self.exact.memory_report())
+        if self._exact is not None:
+            return dict(self._exact.memory_report())
+        # Nothing uploaded yet: report the dense engine's size computed
+        # host-side (a reporting call must not itself allocate HBM).
+        seg = self.segment
+        n_rows = -(-n_post // 128)
+        postings = (n_rows + 1) * 128 * (4 + 4)  # docid i32 + impact f32
+        doc_tables = 4 * (seg.n_docs + 1)
+        return {
+            "postings": postings,
+            "doc_tables": doc_tables,
+            "total": postings + doc_tables,
+            "bytes_per_posting": postings / n_post,
+            "projected": True,  # would-be upload; nothing resident yet
+        }
 
     def _route(self, queries: Sequence[Query]) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (strategy [Q] in {0: one-shot, 1: dense, 2: iterative},
         total_ranges [Q]).  One vectorized lookup over the concatenated
         batch keys — no per-query Python."""
+        from ..utils.batchkeys import batch_lookup
+
         seg = self.segment
         term_l = self._term_l
         df_budget = max(1.0, self.route_threshold * seg.n_docs)
         qn = len(queries)
-        key_arrays = [np.asarray(q.keys, dtype="S16") for q in queries]
-        kcounts = np.fromiter(
-            (a.size for a in key_arrays), dtype=np.int64, count=qn
-        )
         ranges = np.zeros(qn, dtype=np.int64)
         dfs = np.zeros(qn, dtype=np.int64)
-        if kcounts.sum():
-            ids = seg.lookup_tokens(np.concatenate(key_arrays)).astype(
-                np.int64
-            )
-            qidx = np.repeat(np.arange(qn, dtype=np.int64), kcounts)
-            keep = ids >= 0
-            ids, qidx = ids[keep], qidx[keep]
+        ids, qidx = batch_lookup(seg.lookup_tokens, queries)
+        if ids.size:
             np.add.at(ranges, qidx, term_l[ids])
             np.add.at(dfs, qidx, seg.token_df[ids])
+        # Zero-range queries (all terms OOV / empty) go to the dense
+        # group — they return empty cheaply and must not trigger the
+        # lazy pruned-engine upload via the one-shot path.
         strategy = np.where(
-            ranges <= self.oneshot_cap,
+            (ranges > 0) & (ranges <= self.oneshot_cap),
             np.int8(0),
             np.where(dfs <= df_budget, np.int8(1), np.int8(2)),
         )
