@@ -439,12 +439,25 @@ def build_sealed_segment_from_postings(
     # Max-impact (Wand) pairs, first-maximum semantics (bm25.rs:297-332).
     avgdl = float(sum_dl) / float(n)
     post_fn = fieldnorms[s_docs].astype(np.int64)
-    post_score = tf_score(post_fn, s_tfs, options.k1, options.b, avgdl)
-    # First index attaining the per-block max: sort by (block, -score, idx).
-    idx = np.arange(total, dtype=np.int64)
-    sel = np.lexsort((idx, -post_score, block_of_posting))
-    first_of_block = sel[
-        np.searchsorted(block_of_posting[sel], np.arange(b), side="left")
+    # s1-table factorization (the Cache trick, bm25.rs:334-359): the
+    # per-posting score is t*(k1+1)/(t + s1[fn]) with a 256-entry f64
+    # table — bit-identical to the inline formula (same IEEE ops on the
+    # same values) at a fraction of the flops/temps of tf_score over
+    # tens of millions of postings.
+    s1_table = ScoreTables.create(options.k1, options.b, n, sum_dl).s1_table
+    t64 = s_tfs.astype(np.float64)
+    post_score = t64 * (options.k1 + 1.0) / (t64 + s1_table[post_fn])
+    # First index attaining the per-block max: postings are grouped by
+    # block, so a per-group reduceat max + first equality hit replaces
+    # the previous (block, -score, idx) lexsort over all postings
+    # (single passes instead of an O(P log P) 3-key sort).
+    block_starts = np.searchsorted(
+        block_of_posting, np.arange(b), side="left"
+    )
+    gmax = np.maximum.reduceat(post_score, block_starts)
+    hit = np.flatnonzero(post_score == gmax[block_of_posting])
+    first_of_block = hit[
+        np.searchsorted(block_of_posting[hit], np.arange(b), side="left")
     ]
     block_wand_fn = post_fn[first_of_block].astype(np.uint8)
     block_wand_tf = s_tfs[first_of_block].astype(np.int32)
