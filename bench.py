@@ -199,8 +199,8 @@ def main():
     parser.add_argument("--docs", type=int, default=131072)
     parser.add_argument("--vocab", type=int, default=50000)
     parser.add_argument("--avg-len", type=int, default=80)
-    parser.add_argument("--queries", type=int, default=1024)
-    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--queries", type=int, default=4096)
+    parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument(
