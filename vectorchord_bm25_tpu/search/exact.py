@@ -35,6 +35,27 @@ __all__ = ["ExactEngine", "oracle_scores", "oracle_topk"]
 from ..utils.batchkeys import batch_lookup, group_positions
 from ..utils.buckets import bucket_pow2 as _bucket
 
+# JAX dispatch is async: nothing bounds how many executions sit in the
+# device queue, and a pile-up of gather-heavy dispatches (hundreds of MB
+# of transient HBM each) reliably crashed the TPU worker at
+# [4096-query batches, 1M+ docs].  Dispatches whose estimated gather
+# volume exceeds _LARGE_DISPATCH_BYTES are throttled to at most two in
+# flight: the dispatcher blocks on the oldest before issuing another.
+from collections import deque
+
+_LARGE_DISPATCH_BYTES = 256 << 20
+_large_inflight: "deque" = deque()
+
+
+def _throttle_large(out, est_bytes: int):
+    if est_bytes < _LARGE_DISPATCH_BYTES:
+        return
+    import jax
+
+    while len(_large_inflight) >= 2:
+        jax.block_until_ready(_large_inflight.popleft())
+    _large_inflight.append(out)
+
 
 @functools.lru_cache(maxsize=1)
 def _jitted_score_and_topk():
@@ -557,8 +578,16 @@ class ExactEngine:
         pending = []
         for bu in np.unique(bucket_of):
             bidx = np.flatnonzero(bucket_of == bu)
-            for i0 in range(0, bidx.size, q_cap):
-                sub = bidx[i0 : i0 + q_cap]
+            # Besides the accumulator budget, cap each dispatch's gather
+            # volume (q * P * 128 lanes): one dispatch materializes
+            # ~8-12 B per lane, and very large batches of heavy queries
+            # otherwise spike transient HBM by gigabytes (observed TPU
+            # worker crashes at [4096-query batches, 1M docs]).
+            p_bucket = max(1, _bucket(int(sizes[bidx].max(initial=1)), 8))
+            lane_cap = max(1, (1 << 26) // (p_bucket * 128))
+            step = max(1, min(q_cap, lane_cap))
+            for i0 in range(0, bidx.size, step):
+                sub = bidx[i0 : i0 + step]
                 if self.compact:
                     grp_ids = self._assemble_compact(lists, sub)
                     out = _jitted_score_and_topk_compact()(
@@ -601,6 +630,7 @@ class ExactEngine:
                         k=kk,
                         n_docs=dev.n_docs,
                     )
+                _throttle_large(out, sub.size * p_bucket * 128 * 8)
                 pending.append((sub, out))
 
         payload_arr = np.asarray(dev.host.doc_payload)
