@@ -1,0 +1,221 @@
+"""Tests for the delta-compressed stream layout and StreamEngine.
+
+The stream is the equal-index-memory serving form (index/stream.py,
+search/stream.py): these tests pin (a) lossless round-trip of the
+compression, (b) engine-vs-oracle rank parity on random corpora with
+big doc gaps / large tfs / deletes / filters, (c) the memory accounting
+that bench.py reports against the reference block format.
+"""
+
+import numpy as np
+import pytest
+
+from vectorchord_bm25_tpu.index.sealed import (
+    build_sealed_segment,
+    build_sealed_segment_from_postings,
+)
+from vectorchord_bm25_tpu.index.stream import build_stream_index
+from vectorchord_bm25_tpu.search.exact import ExactEngine, oracle_topk
+from vectorchord_bm25_tpu.search.stream import StreamEngine
+from vectorchord_bm25_tpu.text.intern import Query
+
+from test_sealed import make_docs
+
+
+def random_segment(rng, n_docs, vocab, n_post, tf_hi=3):
+    tok = rng.integers(0, vocab, n_post)
+    doc = rng.integers(0, n_docs, n_post)
+    tf = rng.integers(1, tf_hi + 1, n_post)
+    u, idx = np.unique(tok * n_docs + doc, return_index=True)
+    tok, doc, tf = u // n_docs, u % n_docs, tf[idx]
+    keys_u8 = np.zeros((tok.size, 16), dtype=np.uint8)
+    keys_u8[:, :4] = tok.astype(">u4").view(np.uint8).reshape(-1, 4)
+    keys = keys_u8.reshape(-1).view("S16")
+    order = np.lexsort((tok, doc))
+    return build_sealed_segment_from_postings(
+        keys[order], doc[order], tf[order], n_docs, doc_grouped=True
+    )
+
+
+class TestStreamIndex:
+    @pytest.mark.parametrize(
+        "n_docs,vocab,n_post,tf_hi",
+        [(500, 40, 4000, 3), (5000, 300, 15000, 400), (80000, 30, 5000, 2)],
+    )
+    def test_round_trip(self, rng, n_docs, vocab, n_post, tf_hi):
+        """Decoding every window must reproduce the sealed postings
+        exactly (lossless compression)."""
+        seg = random_segment(rng, n_docs, vocab, n_post, tf_hi)
+        si = build_stream_index(seg)
+        stok, sdoc, stf = seg.postings()
+        toks, docs, tfs = [], [], []
+        for w in range(si.n_windows):
+            d, t = si.decode_window(w)
+            toks.append(np.full(d.size, si.w_token[w]))
+            docs.append(d)
+            tfs.append(t)
+        assert np.array_equal(np.concatenate(toks), stok)
+        assert np.array_equal(np.concatenate(docs), sdoc)
+        assert np.array_equal(np.concatenate(tfs), stf)
+        assert int(si.w_len.max()) <= 128
+        assert int(si.w_len[si.w_wd == 2].max(initial=0)) <= 64
+
+    def test_window_bounds_dominate_impacts(self, rng):
+        """w_maximp must upper-bound every posting impact in the window
+        (MaxScore pruning relies on it)."""
+        seg = random_segment(rng, 2000, 60, 8000, tf_hi=7)
+        si = build_stream_index(seg)
+        s0 = seg.token_s0()
+        s1 = seg.score_tables().s1_table
+        for w in rng.choice(si.n_windows, size=min(64, si.n_windows), replace=False):
+            d, t = si.decode_window(int(w))
+            fn = seg.doc_fieldnorm[d].astype(np.int64)
+            imp = (t * s0[si.w_token[w]]) / (t + s1[fn])
+            assert float(imp.max()) <= float(si.w_maximp[w])
+        tmax = si.token_maximp
+        for tid in rng.choice(seg.n_tokens, size=20, replace=False):
+            lo, hi = si.token_w_start[tid], si.token_w_start[tid + 1]
+            if hi > lo:
+                assert float(si.w_maximp[lo:hi].max()) <= float(
+                    tmax[tid]
+                ) * (1 + 1e-6)
+
+    def test_empty_segment(self):
+        seg = build_sealed_segment([])
+        si = build_stream_index(seg)
+        assert si.n_windows == 0 and si.n_postings == 0
+
+
+class TestStreamEngine:
+    @pytest.mark.parametrize("strategy", ["dense", "sparse"])
+    def test_vs_oracle(self, rng, strategy):
+        seg = random_segment(rng, 3000, 80, 30000, tf_hi=5)
+        engine = StreamEngine(seg, strategy=strategy)
+        queries = [
+            Query.from_int_ids(rng.integers(0, 90, size=4).tolist())
+            for _ in range(32)
+        ]
+        k = 10
+        scores, ids, payloads = engine.search(queries, k)
+        for qi, q in enumerate(queries):
+            e_scores, e_ids = oracle_topk(seg, q, k, dtype=np.float32)
+            got = ids[qi][ids[qi] >= 0]
+            assert np.array_equal(got, e_ids), qi
+            np.testing.assert_allclose(
+                scores[qi][: e_ids.size], e_scores, rtol=2e-6
+            )
+            # Payload contract: valid slots carry the doc payload.
+            assert np.array_equal(
+                payloads[qi][: e_ids.size], seg.doc_payload[e_ids]
+            )
+
+    def test_vs_exact_engine(self, rng):
+        """Stream results == uncompressed ExactEngine results bit-for-bit
+        on ids (both implement the f32 oracle ordering)."""
+        docs = make_docs(rng, 400, vocab=50)
+        seg = build_sealed_segment(docs)
+        se = StreamEngine(seg, strategy="dense")
+        ee = ExactEngine(seg)
+        queries = [
+            Query.from_int_ids(rng.integers(0, 55, size=3).tolist())
+            for _ in range(16)
+        ]
+        s1, i1, _ = se.search(queries, 10)
+        s2, i2, _ = ee.search(queries, 10)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(s1), s1, 0),
+            np.where(np.isfinite(s2), s2, 0),
+            rtol=2e-6,
+        )
+
+    def test_big_gaps_and_tf16(self, rng):
+        """Sparse terms spanning 100k+ docs (u16 windows + re-anchoring
+        splits) and tf > 255 (u16 tf stream)."""
+        n_docs = 200_000
+        # one rare term appearing every ~37k docs, one mid, one dense run
+        doc_a = np.arange(0, n_docs, 37_111, dtype=np.int64)
+        doc_b = np.arange(0, n_docs, 301, dtype=np.int64)
+        doc_c = np.arange(5_000, 5_600, dtype=np.int64)
+        tok = np.concatenate(
+            [np.zeros_like(doc_a), np.ones_like(doc_b), np.full_like(doc_c, 2)]
+        )
+        doc = np.concatenate([doc_a, doc_b, doc_c])
+        tf = np.concatenate(
+            [
+                np.full_like(doc_a, 300),  # forces tf_width=2
+                np.ones_like(doc_b),
+                rng.integers(1, 5, doc_c.size),
+            ]
+        )
+        keys_u8 = np.zeros((tok.size, 16), dtype=np.uint8)
+        keys_u8[:, :4] = tok.astype(">u4").view(np.uint8).reshape(-1, 4)
+        keys = keys_u8.reshape(-1).view("S16")
+        seg = build_sealed_segment_from_postings(
+            keys, doc, tf, n_docs, presorted=True
+        )
+        si = build_stream_index(seg)
+        assert si.tf_width == 2
+        engine = StreamEngine(seg, stream=si, strategy="dense")
+        queries = [Query.from_int_ids([0, 1, 2])]
+        scores, ids, _ = engine.search(queries, 10)
+        e_scores, e_ids = oracle_topk(seg, queries[0], 10, dtype=np.float32)
+        assert np.array_equal(ids[0][ids[0] >= 0], e_ids)
+
+    def test_deletes_and_filter(self, rng):
+        seg = random_segment(rng, 1000, 40, 8000)
+        engine = StreamEngine(seg, strategy="dense")
+        deleted = rng.random(1000) < 0.3
+        engine.set_deleted(deleted)
+        fmask = rng.random(1000) < 0.5
+        queries = [
+            Query.from_int_ids(rng.integers(0, 45, size=4).tolist())
+            for _ in range(8)
+        ]
+        scores, ids, _ = engine.search(queries, 10, filter_mask=fmask)
+        for qi, q in enumerate(queries):
+            e_scores, e_ids = oracle_topk(
+                seg, q, 10, deleted=deleted, filter_mask=fmask,
+                dtype=np.float32,
+            )
+            assert np.array_equal(ids[qi][ids[qi] >= 0], e_ids), qi
+        # un-delete restores
+        engine.set_deleted(np.zeros(1000, dtype=bool))
+        scores, ids, _ = engine.search(queries, 10)
+        for qi, q in enumerate(queries):
+            _, e_ids = oracle_topk(seg, q, 10, dtype=np.float32)
+            assert np.array_equal(ids[qi][ids[qi] >= 0], e_ids), qi
+
+    def test_memory_below_reference(self, rng):
+        """On a clustered Zipf-ish corpus the stream must beat the
+        reference's block-format bytes (the north-star constraint)."""
+        from bench import synth_corpus_postings
+        from vectorchord_bm25_tpu.utils.memparity import (
+            memory_parity_report,
+            reference_format_bytes,
+        )
+
+        keys, doc_ids, tfs, _ = synth_corpus_postings(16384, 8000, 60)
+        seg = build_sealed_segment_from_postings(
+            keys, doc_ids, tfs, 16384, doc_grouped=True
+        )
+        engine = StreamEngine(seg)
+        rep = memory_parity_report(engine, seg)
+        assert rep["ratio_vs_reference"] <= 1.0, rep
+        ref = reference_format_bytes(seg)
+        assert engine.memory_report()["total"] < ref["total"]
+
+    def test_oov_and_empty_queries(self, rng):
+        seg = random_segment(rng, 200, 20, 1000)
+        engine = StreamEngine(seg)
+        queries = [
+            Query.from_int_ids([99999]),
+            Query(keys=np.zeros(0, dtype="S16")),
+            Query.from_int_ids([0, 1]),
+        ]
+        scores, ids, _ = engine.search(queries, 5)
+        assert np.all(ids[0] == -1) and np.all(ids[1] == -1)
+        _, e_ids = oracle_topk(seg, queries[2], 5, dtype=np.float32)
+        assert np.array_equal(ids[2][ids[2] >= 0], e_ids)
+        with pytest.raises(ValueError):
+            engine.search(queries, 0)

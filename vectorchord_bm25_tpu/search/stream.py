@@ -1,0 +1,456 @@
+"""Exact batched search over the delta-compressed posting stream.
+
+The equal-index-memory engine: postings stay compressed in HBM
+(index/stream.py, ~1-2 B/posting vs the reference's ~1.8 B/posting
+block format) and every query kernel decompresses the windows it
+gathers *in registers* — the TPU analog of the reference's
+decompress-on-seek into a fixed [u32;128] buffer
+(/root/reference/crates/bm25/src/search.rs:498-518,
+compression.rs:15-34).
+
+Per window the kernel:
+
+1. gathers 32 u32 words of doc data and <=32 words of tf data
+   (uniform shapes — a wd=2 window holds at most 64 postings);
+2. extracts byte or halfword deltas with static shifts, selects by the
+   window's width, and reconstructs doc ids with a masked lane cumsum
+   anchored at the window's base doc;
+3. reconstructs each posting's score as tf*s0/(tf + s1[fieldnorm]) —
+   the reference's per-posting Cache.evaluate (bm25.rs:334-359) — from
+   the u16 fieldnorm table (bit 8 = deleted) and the 256-entry s1
+   table;
+4. feeds the (doc, score) lanes to the same exact reductions as the
+   uncompressed engine: dense scatter-add + hierarchical top-k, or the
+   doc-sort + segmented-sum sparse path at multi-million-doc scale.
+
+Results are exactly the float32 oracle's (same IEEE expression as
+oracle_scores(dtype=float32)); the pinned (score desc, doc asc) tie
+rule is preserved by both reduction paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.sealed import SealedSegment
+from ..index.stream import StreamIndex, build_stream_index
+from ..text.intern import Query
+from ..utils.batchkeys import batch_lookup, group_positions
+from ..utils.buckets import bucket_pow2 as _bucket
+from .exact import _throttle_large
+
+__all__ = ["StreamEngine"]
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_stream_dense():
+    import jax
+
+    return jax.jit(_stream_dense, static_argnames=("k", "n_docs"))
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_stream_sparse():
+    import jax
+
+    return jax.jit(
+        _stream_sparse, static_argnames=("k", "n_docs", "seg_steps")
+    )
+
+
+def _unpack_and_score(
+    sd_words,  # [Sd] uint32 doc-delta stream
+    st_words,  # [St] uint32 tf stream
+    doc_fn,  # [N+1] uint16 fieldnorm | deleted<<8 (pad slot: deleted)
+    s1_table,  # [256] float32
+    win_doff,  # [Q, P] int32 word offsets (pad -> zero tail)
+    win_toff,  # [Q, P] int32
+    win_base,  # [Q, P] int32 first doc id
+    win_meta,  # [Q, P] int32 len | wd<<8 | wtf<<12 (pad: 0)
+    win_s0,  # [Q, P] float32 term s0
+    n_docs: int,
+):
+    """Decompress gathered windows and score every posting.
+
+    Returns (doc [Q, P, 128] int32 with pad = n_docs, sc [Q, P, 128]
+    float32 with dead lanes = 0).  Deleted docs score 0 here (the
+    deleted bit rides the fieldnorm gather — no extra lookup).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    q, p = win_doff.shape
+    iota32 = jnp.arange(32, dtype=jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, p, 128), 2)
+
+    length = win_meta & 0xFF
+    wd = (win_meta >> 8) & 0x3
+    wtf = (win_meta >> 12) & 0x3
+    live = lane < length[..., None]
+
+    words = sd_words[win_doff[..., None] + iota32]  # [Q, P, 32] u32
+    by = jnp.stack(
+        [
+            words & 0xFF,
+            (words >> 8) & 0xFF,
+            (words >> 16) & 0xFF,
+            (words >> 24) & 0xFF,
+        ],
+        axis=-1,
+    ).reshape(q, p, 128)
+    hw = jnp.stack([words & 0xFFFF, words >> 16], axis=-1).reshape(q, p, 64)
+    hw = jnp.concatenate(
+        [hw, jnp.zeros((q, p, 64), dtype=hw.dtype)], axis=-1
+    )
+    delta = jnp.where((wd == 2)[..., None], hw, by).astype(jnp.int32)
+    delta = jnp.where(live & (lane > 0), delta, 0)
+    doc = win_base[..., None] + jnp.cumsum(delta, axis=-1)
+    doc = jnp.where(live, doc, n_docs)
+
+    twords = st_words[win_toff[..., None] + iota32]
+    tby = jnp.stack(
+        [
+            twords & 0xFF,
+            (twords >> 8) & 0xFF,
+            (twords >> 16) & 0xFF,
+            (twords >> 24) & 0xFF,
+        ],
+        axis=-1,
+    ).reshape(q, p, 128)
+    thw = jnp.stack(
+        [twords & 0xFFFF, twords >> 16], axis=-1
+    ).reshape(q, p, 64)
+    thw = jnp.concatenate(
+        [thw, jnp.zeros((q, p, 64), dtype=thw.dtype)], axis=-1
+    )
+    wtf_e = wtf[..., None]
+    tf = jnp.where(
+        wtf_e == 0,
+        jnp.uint32(1),
+        jnp.where(wtf_e == 2, thw, tby).astype(jnp.uint32),
+    ).astype(jnp.float32)
+
+    fn = doc_fn[doc].astype(jnp.int32)  # pad doc carries the deleted bit
+    alive = fn < 256
+    s1v = s1_table[fn & 0xFF]
+    sc = (tf * win_s0[..., None]) / (tf + s1v)
+    sc = jnp.where(live & alive, sc, 0.0)
+    return doc, sc
+
+
+def _stream_dense(
+    sd_words, st_words, doc_fn, s1_table,
+    win_doff, win_toff, win_base, win_meta, win_s0,
+    filter_mask,  # [N+1] float32 (1 keep)
+    k: int,
+    n_docs: int,
+):
+    import jax
+    import jax.numpy as jnp
+
+    doc, sc = _unpack_and_score(
+        sd_words, st_words, doc_fn, s1_table,
+        win_doff, win_toff, win_base, win_meta, win_s0, n_docs,
+    )
+
+    def accumulate(docs_q, scores_q):
+        acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
+        return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
+
+    acc = jax.vmap(accumulate)(doc, sc)  # [Q, N+1]
+    acc = acc * filter_mask[None, :]
+    from ..ops.topk import dense_topk
+
+    return dense_topk(acc, k, n_docs)
+
+
+def _stream_sparse(
+    sd_words, st_words, doc_fn, s1_table,
+    win_doff, win_toff, win_base, win_meta, win_s0,
+    filter_mask,
+    k: int,
+    n_docs: int,
+    seg_steps: int,
+):
+    """Sort-based exact reduction (cost ~ postings, independent of
+    n_docs) — identical post-gather algorithm to
+    exact._score_and_topk_sparse, fed by the decompressor."""
+    import jax
+    import jax.numpy as jnp
+
+    doc, sc = _unpack_and_score(
+        sd_words, st_words, doc_fn, s1_table,
+        win_doff, win_toff, win_base, win_meta, win_s0, n_docs,
+    )
+    sc = sc * filter_mask[doc]
+
+    q = doc.shape[0]
+    df = doc.reshape(q, -1)
+    sf = sc.reshape(q, -1)
+    df, sf = jax.lax.sort((df, sf), dimension=1, num_keys=1)
+
+    s = sf
+    for i in range(seg_steps):
+        sh = 1 << i
+        zero_i = jnp.zeros((q, sh), dtype=df.dtype)
+        zero_f = jnp.zeros((q, sh), dtype=s.dtype)
+        same = jnp.concatenate(
+            [zero_i == 1, df[:, sh:] == df[:, :-sh]], axis=1
+        )
+        add = jnp.concatenate([zero_f, s[:, :-sh]], axis=1)
+        s = s + jnp.where(same, add, 0.0)
+
+    is_last = jnp.concatenate(
+        [df[:, :-1] != df[:, 1:], jnp.ones((q, 1), dtype=bool)], axis=1
+    )
+    cand = jnp.where(is_last & (df < n_docs) & (s > 0.0), s, -jnp.inf)
+    kk = min(k, cand.shape[1])
+    scores, pos = jax.lax.top_k(cand, kk)
+    ids = jnp.take_along_axis(df, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=0)
+    return scores, ids
+
+
+class StreamEngine:
+    """Batched exact search serving from the compressed stream.
+
+    Drop-in interface parity with ExactEngine (search / search_async /
+    set_deleted / memory_report); HBM cost ~1-2 B/posting + 2 B/doc.
+    """
+
+    #: "auto" strategy switches to the sparse sort path at this corpus
+    #: size (same measured crossover as ExactEngine, DESIGN.md).
+    SPARSE_MIN_DOCS = 1 << 21
+
+    def __init__(
+        self,
+        segment: SealedSegment,
+        stream: Optional[StreamIndex] = None,
+        device=None,
+        accumulator_budget: int = 1 << 30,
+        strategy: str = "auto",
+        global_stats=None,
+    ):
+        if strategy not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        import jax
+        import jax.numpy as jnp
+
+        self.strategy = strategy
+        self.segment = segment
+        self.accumulator_budget = accumulator_budget
+        self.stream = stream or build_stream_index(
+            segment, global_stats=global_stats
+        )
+        si = self.stream
+
+        def put(x, dtype=None):
+            arr = jnp.asarray(x, dtype=dtype)
+            return jax.device_put(arr, device) if device is not None else arr
+
+        self.dev_doc_words = put(si.doc_words)
+        self.dev_tf_words = put(si.tf_words)
+        self._doc_fn_host = si.doc_fn.copy()
+        self.dev_doc_fn = put(self._doc_fn_host)
+        self.dev_s1 = put(si.s1_table)
+        # Pad window: the zero tail (len 0, offsets in-range).
+        self._pad_doff = np.int32(si.doc_words.size - 32)
+        self._pad_toff = np.int32(si.tf_words.size - 32)
+        self.n_docs = si.n_docs
+
+    def set_deleted(self, deleted: np.ndarray) -> None:
+        """Set/clear the deleted bit in the fieldnorm table (the
+        scoring-time bitmap; the reference flips DocumentTuple.deleted,
+        bulkdelete.rs:79-111)."""
+        import jax.numpy as jnp
+
+        from ..index.stream import _DELETED_BIT
+
+        n = self.n_docs
+        fn = self.stream.doc_fn.copy()
+        d = np.asarray(deleted, dtype=bool)[:n]
+        fn[:n] = np.where(d, fn[:n] | _DELETED_BIT, fn[:n] & 0xFF)
+        self._doc_fn_host = fn
+        self.dev_doc_fn = jnp.asarray(fn)
+
+    def memory_report(self) -> dict:
+        """Device-resident index bytes (equal-index-memory metric)."""
+        db = self.stream.device_bytes()
+        return {
+            "postings": db["postings"],
+            "doc_tables": db["doc_tables"],
+            "s1_table": db["s1_table"],
+            "total": db["total"],
+            "bytes_per_posting": db["bytes_per_posting"],
+        }
+
+    def _win_lists(self, queries: Sequence[Query]):
+        """Vectorized per-query window-id lists (CSR slices of the
+        stream's window table) + per-query matched-term counts."""
+        si = self.stream
+        seg = self.segment
+        tws = si.token_w_start
+        qn = len(queries)
+        empty = np.zeros(0, dtype=np.int64)
+        ids, qidx = batch_lookup(seg.lookup_tokens, queries)
+        if ids.size == 0:
+            sizes = np.zeros(qn, dtype=np.int64)
+            return (empty, np.zeros(qn + 1, dtype=np.int64), sizes), np.zeros(
+                qn, dtype=np.int64
+            )
+        n_terms = np.bincount(qidx, minlength=qn).astype(np.int64)
+        los = tws[ids]
+        cnt = tws[ids + 1] - los
+        total = int(cnt.sum())
+        if total == 0:
+            sizes = np.zeros(qn, dtype=np.int64)
+            return (empty, np.zeros(qn + 1, dtype=np.int64), sizes), n_terms
+        wsrc = np.repeat(los, cnt) + group_positions(cnt)
+        q_of = np.repeat(qidx, cnt)
+        sizes = np.bincount(q_of, minlength=qn).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        return (wsrc, starts, sizes), n_terms
+
+    def _assemble(self, lists, sub: np.ndarray):
+        """Pad the subset's window lists to bucketed [q, P] matrices."""
+        wsrc, starts, sizes = lists
+        si = self.stream
+        sub = np.asarray(sub, dtype=np.int64)
+        sub_sizes = sizes[sub]
+        q = sub.size
+        p_max = _bucket(int(sub_sizes.max(initial=1)) or 1, 8)
+        doff = np.full((q, p_max), self._pad_doff, dtype=np.int32)
+        toff = np.full((q, p_max), self._pad_toff, dtype=np.int32)
+        base = np.zeros((q, p_max), dtype=np.int32)
+        meta = np.zeros((q, p_max), dtype=np.int32)
+        s0 = np.zeros((q, p_max), dtype=np.float32)
+        total = int(sub_sizes.sum())
+        if total:
+            pos = group_positions(sub_sizes)
+            src = wsrc[np.repeat(starts[sub], sub_sizes) + pos]
+            dst_q = np.repeat(np.arange(q, dtype=np.int64), sub_sizes)
+            doff[dst_q, pos] = si.w_doff4[src]
+            toff[dst_q, pos] = si.w_toff4[src]
+            base[dst_q, pos] = si.w_base[src]
+            meta[dst_q, pos] = si.w_meta[src]
+            s0[dst_q, pos] = si.w_s0[src]
+        return doff, toff, base, meta, s0
+
+    def search_async(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Dispatch a batch and return finalize() -> (scores, ids,
+        payloads) — same contract, bucketing, and budget caps as
+        ExactEngine.search_async."""
+        import jax.numpy as jnp
+
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        queries = list(queries)
+        qn = len(queries)
+        n_docs = self.n_docs
+        use_sparse = self.strategy == "sparse" or (
+            self.strategy == "auto" and n_docs >= self.SPARSE_MIN_DOCS
+        )
+
+        if filter_mask is not None:
+            fm = np.ones(n_docs + 1, dtype=np.float32)
+            fm[:n_docs] = np.asarray(filter_mask, dtype=np.float32)
+            fm_dev = jnp.asarray(fm)
+        else:
+            fm_dev = jnp.ones(n_docs + 1, dtype=jnp.float32)
+
+        kk = min(_bucket(k, 1), max(n_docs, 1))
+
+        lists, n_terms = self._win_lists(queries)
+        sizes = lists[2]
+
+        bucket_of = np.zeros(qn, dtype=np.int64)
+        waste = qn * int(sizes.max(initial=0)) - int(sizes.sum())
+        if waste > 65536:
+            b = 32
+            while np.any(sizes > b):
+                bucket_of[sizes > b] += 1
+                b *= 4
+
+        if use_sparse:
+            q_cap = 1 << 30
+        else:
+            q_cap = max(1, self.accumulator_budget // (4 * (n_docs + 1)))
+
+        pending = []
+        for bu in np.unique(bucket_of):
+            bidx = np.flatnonzero(bucket_of == bu)
+            p_bucket = max(1, _bucket(int(sizes[bidx].max(initial=1)), 8))
+            lane_cap = max(1, (1 << 26) // (p_bucket * 128))
+            step = max(1, min(q_cap, lane_cap))
+            for i0 in range(0, bidx.size, step):
+                sub = bidx[i0 : i0 + step]
+                doff, toff, base, meta, s0 = self._assemble(lists, sub)
+                args = (
+                    self.dev_doc_words,
+                    self.dev_tf_words,
+                    self.dev_doc_fn,
+                    self.dev_s1,
+                    jnp.asarray(doff),
+                    jnp.asarray(toff),
+                    jnp.asarray(base),
+                    jnp.asarray(meta),
+                    jnp.asarray(s0),
+                    fm_dev,
+                )
+                if use_sparse:
+                    mt = int(max(1, n_terms[sub].max(initial=1)))
+                    out = _jitted_stream_sparse()(
+                        *args,
+                        k=kk,
+                        n_docs=n_docs,
+                        seg_steps=int(mt - 1).bit_length(),
+                    )
+                else:
+                    out = _jitted_stream_dense()(*args, k=kk, n_docs=n_docs)
+                _throttle_large(out, sub.size * p_bucket * 128 * 8)
+                pending.append((sub, out))
+
+        payload_arr = np.asarray(self.segment.doc_payload)
+
+        def finalize():
+            scores = np.full((qn, k), -np.inf, dtype=np.float32)
+            ids = np.full((qn, k), -1, dtype=np.int64)
+            payloads = np.full((qn, k), -1, dtype=np.int64)
+            for sub, (s_dev, i_dev) in pending:
+                s = np.asarray(s_dev)[:, :k]
+                i = np.asarray(i_dev, dtype=np.int64)[:, :k]
+                if s.shape[1] < k:
+                    pad = k - s.shape[1]
+                    s = np.pad(
+                        s, ((0, 0), (0, pad)), constant_values=-np.inf
+                    )
+                    i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+                valid = np.isfinite(s)
+                i = np.where(valid, i, -1)
+                p = np.where(valid, payload_arr[np.maximum(i, 0)], -1)
+                scores[sub], ids[sub], payloads[sub] = s, i, p
+            return scores, ids, payloads
+
+        return finalize
+
+    def search(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Top-k for a batch of queries (contract: ExactEngine.search)."""
+        return self.search_async(queries, k, filter_mask)()
