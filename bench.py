@@ -204,7 +204,9 @@ def main():
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument(
-        "--engine", choices=["exact", "blockmax", "hybrid"], default="hybrid"
+        "--engine",
+        choices=["exact", "blockmax", "hybrid", "stream"],
+        default="hybrid",
     )
     parser.add_argument("--chunk", type=int, default=None)
     parser.add_argument(
@@ -235,6 +237,7 @@ def main():
     from vectorchord_bm25_tpu.search.blockmax import BlockMaxEngine
     from vectorchord_bm25_tpu.search.exact import ExactEngine
     from vectorchord_bm25_tpu.search.hybrid import HybridEngine
+    from vectorchord_bm25_tpu.search.stream import StreamEngine
 
     keys, doc_ids, tfs, doc_start = synth_corpus_postings(
         args.docs, args.vocab, args.avg_len
@@ -250,6 +253,8 @@ def main():
         engine = HybridEngine(
             seg, chunk=args.chunk, posting_mode=args.posting_mode
         )
+    elif args.engine == "stream":
+        engine = StreamEngine(seg)
     else:
         engine = ExactEngine(seg)
     queries = synth_queries_fast(keys, doc_start, seg, args.queries)

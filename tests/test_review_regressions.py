@@ -70,3 +70,39 @@ def test_memory_report_counts_engine_uploads():
         rep["postings"] + rep["range_meta"] + rep["token_csr"]
         + rep["doc_tables"]
     )
+
+
+def test_throttle_large_thread_safe():
+    # _large_inflight is shared mutable state reachable from concurrent
+    # readers (searches hold the RW lock shared). The old
+    # len-check-then-popleft had no mutex: threads could both pass the
+    # check, drain the deque, and raise IndexError from popleft on
+    # empty. Hammer it from many threads and assert no exceptions and a
+    # bounded in-flight set.
+    import threading
+
+    from vectorchord_bm25_tpu.search import exact as exact_mod
+
+    errors = []
+    big = exact_mod._LARGE_DISPATCH_BYTES + 1
+
+    class FakeOut:
+        def block_until_ready(self):
+            return self
+
+    def worker():
+        try:
+            for _ in range(300):
+                exact_mod._throttle_large(FakeOut(), big)
+                assert len(exact_mod._large_inflight) <= 2 + 8
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    with exact_mod._large_inflight_mu:
+        exact_mod._large_inflight.clear()

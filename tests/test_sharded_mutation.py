@@ -208,6 +208,24 @@ class TestShardedMutation:
         np.testing.assert_array_equal(g1, g2)
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
+    def test_save_load_preserves_memory_modes(self, rng, mesh8, tmp_path):
+        # posting_mode/memory_mode must round-trip through the sharded
+        # checkpoint: a tf-mode (2 B/posting) index that silently
+        # reloads as impact/fast has a very different HBM footprint.
+        docs = make_docs(rng, 80, vocab=10)
+        sharded = ShardedIndex.build(
+            docs, 8, mesh=mesh8, engine="blockmax", posting_mode="tf"
+        )
+        d = str(tmp_path / "idx")
+        save_sharded_index(sharded, d)
+        loaded = load_sharded_index(d, mesh=mesh8)
+        assert loaded.posting_mode == "tf"
+        assert loaded.memory_mode == sharded.memory_mode
+        q = [Query.from_int_ids([0, 1, 2])]
+        s1, g1, _ = sharded.search(q, 10)
+        s2, g2, _ = loaded.search(q, 10)
+        np.testing.assert_array_equal(g1, g2)
+
     def test_wal_recovers_acknowledged_mutations(self, rng, mesh8, tmp_path):
         """Crash simulation: acknowledged mutations after the checkpoint
         are replayed from the sharded WAL (the GenericXLog analog)."""

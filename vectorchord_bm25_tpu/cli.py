@@ -185,7 +185,7 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=100)
     p.add_argument(
         "--engine",
-        choices=["exact", "blockmax", "hybrid"],
+        choices=["exact", "blockmax", "hybrid", "stream"],
         default="blockmax",
     )
     p.add_argument("--workers", type=int, default=1)

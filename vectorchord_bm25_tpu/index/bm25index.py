@@ -106,7 +106,7 @@ class Bm25Index:
         search_options: Optional[SearchOptions] = None,
         engine: str = "blockmax",
     ):
-        if engine not in ("exact", "blockmax", "hybrid"):
+        if engine not in ("exact", "blockmax", "hybrid", "stream"):
             raise ValueError(f"unknown engine {engine!r}")
         self.options = options
         self.search_options = search_options or SearchOptions()
@@ -129,6 +129,10 @@ class Bm25Index:
         # fsynced before being acknowledged (the GenericXLog analog,
         # src/index/storage.rs:227-238).
         self._wal = None
+        # Prefilter masks keyed by predicate object: sealed payloads only
+        # change at maintain (which clears this), so repeated filtered
+        # searches reuse one vectorized evaluation.
+        self._prefilter_cache: dict = {}
 
     def attach_wal(self, wal) -> None:
         self._wal = wal
@@ -187,6 +191,10 @@ class Bm25Index:
                 from ..search.hybrid import HybridEngine
 
                 self._engine = HybridEngine(self.sealed)
+            elif self.engine_kind == "stream":
+                from ..search.stream import StreamEngine
+
+                self._engine = StreamEngine(self.sealed)
             else:
                 self._engine = ExactEngine(self.sealed)
             self._engine.set_deleted(self.deleted)
@@ -383,6 +391,7 @@ class Bm25Index:
         self.deleted = np.zeros(new_sealed.n_docs, dtype=bool)
         self.growing = GrowingSegment(new_sealed)
         self._engine = None
+        self._prefilter_cache.clear()
 
     # ------------------------------------------------------------------
     def search(
@@ -472,17 +481,28 @@ class Bm25Index:
             hits.sort(key=lambda t: (-t[0], t[1]))
             return [SearchHit(s, p) for s, _, p in hits]
 
+    def _sealed_filter_mask(self, filter_fn) -> Optional[np.ndarray]:
+        """Vectorized prefilter mask over sealed payloads, cached per
+        predicate object (payloads are immutable between maintains)."""
+        if filter_fn is None:
+            return None
+        cache = self._prefilter_cache
+        try:
+            mask = cache.get(filter_fn)
+        except TypeError:  # unhashable predicate
+            return _eval_predicate(filter_fn, self.sealed.doc_payload)
+        if mask is None:
+            mask = _eval_predicate(filter_fn, self.sealed.doc_payload)
+            if len(cache) >= 16:
+                cache.clear()
+            cache[filter_fn] = mask
+        return mask
+
     def _search_locked(self, query, k, filter_fn):
         # Sealed path.
         sealed_hits: List[Tuple[float, int, int]] = []  # (score, order, payload)
         if self.sealed.n_docs:
-            mask = None
-            if filter_fn is not None:
-                mask = np.fromiter(
-                    (filter_fn(int(p)) for p in self.sealed.doc_payload),
-                    dtype=bool,
-                    count=self.sealed.n_docs,
-                )
+            mask = self._sealed_filter_mask(filter_fn)
             scores, slots, payloads = self.engine().search(
                 [query], k, filter_mask=mask
             )
@@ -504,38 +524,84 @@ class Bm25Index:
         return [SearchHit(s, p) for s, _, p in merged[:k]]
 
     def search_batch(
-        self, queries: Sequence[Query], k: int
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_fn: Optional[Callable[[int], bool]] = None,
+        session: Optional[SessionConfig] = None,
     ) -> List[List[SearchHit]]:
-        """Batched search (the TPU fast path); growing docs merged per query."""
+        """Batched search (the TPU fast path); growing docs merged per
+        query with one vectorized pass over the whole batch.
+
+        filter_fn follows `search`'s semantics: evaluated inside
+        retrieval when prefilter is enabled (reloption / session
+        override), applied to the k results otherwise.
+        """
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
+        queries = [self._unbind(q) for q in queries]
+        sess = session or SessionConfig()
+        if filter_fn is not None and not sess.resolve_prefilter(
+            self.search_options
+        ):
+            unfiltered = self.search_batch(queries, k)
+            return [
+                [h for h in hits if filter_fn(h.payload)]
+                for hits in unfiltered
+            ]
         with self._rw.read():
-            return self._search_batch_locked(queries, k)
+            return self._search_batch_locked(queries, k, filter_fn)
 
-    def _search_batch_locked(self, queries, k):
-        out: List[List[SearchHit]] = []
+    def _search_batch_locked(self, queries, k, filter_fn=None):
+        qn = len(queries)
         if self.sealed.n_docs:
-            scores, slots, payloads = self.engine().search(list(queries), k)
+            mask = self._sealed_filter_mask(filter_fn)
+            scores, slots, payloads = self.engine().search(
+                list(queries), k, filter_mask=mask
+            )
+            scores = scores.astype(np.float64)
+            slots = np.asarray(slots, dtype=np.int64)
+            payloads = np.asarray(payloads, dtype=np.int64)
+            scores[slots < 0] = -np.inf
         else:
-            q = len(queries)
-            scores = np.full((q, k), -np.inf, dtype=np.float32)
-            slots = np.full((q, k), -1, dtype=np.int64)
-            payloads = np.full((q, k), -1, dtype=np.int64)
-        g_base = self.sealed.n_docs
-        for qi, query in enumerate(queries):
-            hits = [
-                (float(s), int(slot), int(p))
-                for s, slot, p in zip(scores[qi], slots[qi], payloads[qi])
-                if slot >= 0
-            ]
-            g_scores, g_payloads = self.growing.score(query)
-            hits += [
-                (float(s), g_base + i, int(p))
-                for i, (s, p) in enumerate(zip(g_scores, g_payloads))
-                if s > 0.0
-            ]
-            hits.sort(key=lambda t: (-t[0], t[1]))
-            out.append([SearchHit(s, p) for s, _, p in hits[:k]])
+            scores = np.full((qn, k), -np.inf, dtype=np.float64)
+            slots = np.full((qn, k), -1, dtype=np.int64)
+            payloads = np.full((qn, k), -1, dtype=np.int64)
+
+        g = len(self.growing)
+        if g:
+            # One [Q, G] pass over the growing segment (no per-query
+            # re-concatenation), then a vectorized lexsort merge.
+            g_scores = self.growing.score_batch(queries)
+            g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
+            if filter_fn is not None:
+                keep = _eval_predicate(filter_fn, g_payloads)
+                g_scores[:, ~keep] = 0.0
+            g_base = self.sealed.n_docs
+            m = min(k, g)
+            if m < g:
+                top = np.argpartition(-g_scores, m - 1, axis=1)[:, :m]
+            else:
+                top = np.broadcast_to(
+                    np.arange(g, dtype=np.int64), (qn, g)
+                )
+            g_top_scores = np.take_along_axis(g_scores, top, axis=1)
+            g_top_scores = np.where(g_top_scores > 0.0, g_top_scores, -np.inf)
+            all_scores = np.concatenate([scores, g_top_scores], axis=1)
+            all_order = np.concatenate([slots, g_base + top], axis=1)
+            all_payloads = np.concatenate([payloads, g_payloads[top]], axis=1)
+            pick = np.lexsort((all_order, -all_scores), axis=-1)[:, :k]
+            scores = np.take_along_axis(all_scores, pick, axis=1)
+            payloads = np.take_along_axis(all_payloads, pick, axis=1)
+
+        out: List[List[SearchHit]] = []
+        for qi in range(qn):
+            row_s = scores[qi]
+            row_p = payloads[qi]
+            valid = np.isfinite(row_s)
+            out.append(
+                [SearchHit(s, p) for s, p in zip(row_s[valid], row_p[valid])]
+            )
         return out
 
     # ------------------------------------------------------------------

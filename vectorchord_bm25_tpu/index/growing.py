@@ -42,6 +42,10 @@ class GrowingSegment:
         # CSR postings against the sealed token table.
         self._tid: List[np.ndarray] = []
         self._tf: List[np.ndarray] = []
+        # Flattened tid-sorted posting cache for the batched scorer;
+        # rebuilt lazily after inserts (deletes don't touch it — the
+        # delete bitmap is applied at scoring time).
+        self._flat = None
 
     def __len__(self) -> int:
         return len(self.documents)
@@ -59,6 +63,7 @@ class GrowingSegment:
         self.fieldnorms.append(int(length_to_fieldnorm(document.length())))
         self._tid.append(tids.astype(np.int64))
         self._tf.append(document.values.astype(np.int64))
+        self._flat = None
         return len(self.documents) - 1
 
     def bulkdelete(self, predicate) -> int:
@@ -131,13 +136,82 @@ class GrowingSegment:
             dead = np.asarray(self.deleted, dtype=bool)
             scores[dead] = 0.0
             if filter_fn is not None:
-                keep = np.fromiter(
-                    (bool(filter_fn(p)) for p in self.payloads),
-                    dtype=bool,
-                    count=g,
+                from .bm25index import _eval_predicate
+
+                keep = _eval_predicate(
+                    filter_fn, np.asarray(self.payloads, dtype=np.int64)
                 )
                 scores[~keep] = 0.0
         return scores, np.asarray(self.payloads, dtype=np.int64)
+
+    def _flat_postings(self):
+        """(tid_sorted, impact_sorted, doc_of_sorted): the growing CSR
+        flattened once, tid-sorted for searchsorted term slicing, with
+        per-posting impacts precomputed from the sealed Cache tables —
+        rebuilt only after inserts, NOT per search call."""
+        if self._flat is None:
+            seg = self.sealed
+            if self._tid:
+                tids = np.concatenate(self._tid)
+                tfs = np.concatenate(self._tf).astype(np.float64)
+                doc_of = np.repeat(
+                    np.arange(len(self._tid), dtype=np.int64),
+                    [t.size for t in self._tid],
+                )
+            else:
+                tids = np.zeros(0, dtype=np.int64)
+                tfs = np.zeros(0, dtype=np.float64)
+                doc_of = np.zeros(0, dtype=np.int64)
+            known = tids >= 0
+            tids, tfs, doc_of = tids[known], tfs[known], doc_of[known]
+            order = np.argsort(tids, kind="stable")
+            tids, tfs, doc_of = tids[order], tfs[order], doc_of[order]
+            if tids.size:
+                tables = seg.score_tables()
+                s0 = seg.token_s0()
+                fn = np.asarray(self.fieldnorms, dtype=np.int64)[doc_of]
+                impact = (tfs * s0[tids]) / (tfs + tables.s1_table[fn])
+            else:
+                impact = np.zeros(0, dtype=np.float64)
+            self._flat = (tids, impact, doc_of)
+        return self._flat
+
+    def score_batch(self, queries) -> np.ndarray:
+        """Scores for a whole query batch in one vectorized pass.
+
+        Returns [Q, G] float64; deleted docs score 0 (the score > 0 rule
+        excludes them downstream).  Semantics identical to per-query
+        `score` (sealed statistics, sealed-known terms only) but cost is
+        one searchsorted over the flat posting array per batch instead
+        of Q re-concatenations (search.rs:83-135 merges per query; our
+        hot path is 4096-query batches).
+        """
+        from ..utils.batchkeys import batch_lookup, group_positions
+
+        qn = len(queries)
+        g = len(self.documents)
+        scores = np.zeros((qn, g), dtype=np.float64)
+        if g == 0 or qn == 0:
+            return scores
+        tids, impact, doc_of = self._flat_postings()
+        if tids.size == 0:
+            return scores
+        ids, qidx = batch_lookup(self.sealed.lookup_tokens, queries)
+        if ids.size == 0:
+            return scores
+        lo = np.searchsorted(tids, ids, side="left")
+        hi = np.searchsorted(tids, ids, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return scores
+        src = np.repeat(lo, cnt) + group_positions(cnt)
+        q_of = np.repeat(qidx, cnt)
+        np.add.at(scores, (q_of, doc_of[src]), impact[src])
+        dead = np.asarray(self.deleted, dtype=bool)
+        if dead.any():
+            scores[:, dead] = 0.0
+        return scores
 
     def live_documents(self) -> List[Tuple[int, Document]]:
         """(payload, document) pairs of live docs, in insertion order

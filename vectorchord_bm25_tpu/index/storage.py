@@ -547,6 +547,8 @@ def save_sharded_index(index, directory: str) -> None:
                 },
                 "engine": index.engine,
                 "axis": index.axis,
+                "posting_mode": index.posting_mode,
+                "memory_mode": index.memory_mode,
                 "n_shards": index.n_shards,
                 "shards": [
                     {
@@ -621,6 +623,8 @@ def load_sharded_index(directory: str, mesh=None):
         mesh=mesh,
         axis=meta.get("axis", "d"),
         engine=meta.get("engine", "exact"),
+        posting_mode=meta.get("posting_mode", "impact"),
+        memory_mode=meta.get("memory_mode", "fast"),
         seed=base64.b64decode(meta["seed"]),
         search_options=SearchOptions(**meta["search_options"]),
     )

@@ -1323,31 +1323,42 @@ class ShardedIndex:
         )
         scores = np.where(valid, scores, -np.inf)
 
-        # Merge growing-segment hits per query (host brute force, global
-        # stats; growing global ids follow the sealed doc space).
-        if len(self.growing):
+        # Merge growing-segment hits (host brute force, global stats;
+        # growing global ids follow the sealed doc space).  One [Q, G]
+        # scoring pass + a vectorized lexsort merge — per-query Python
+        # here would collapse batched QPS with any non-empty growing
+        # segment (the reference merges through one heap per query,
+        # search.rs:83-135, but serves one query per backend).
+        g = len(self.growing)
+        if g:
+            qn = len(queries)
+            g_scores = self.growing.score_batch(queries)
+            g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
+            if filter_fn is not None:
+                from ..index.bm25index import _eval_predicate
+
+                keep = _eval_predicate(filter_fn, g_payloads)
+                g_scores[:, ~keep] = 0.0
             g_base = self.n_docs
-            for qi, query in enumerate(queries):
-                g_scores, g_payloads = self.growing.score(
-                    query, filter_fn=filter_fn
-                )
-                hits = [
-                    (float(scores[qi, j]), int(gids[qi, j]), int(payloads[qi, j]))
-                    for j in range(k)
-                    if gids[qi, j] >= 0
-                ]
-                hits += [
-                    (float(s), g_base + i, int(p))
-                    for i, (s, p) in enumerate(zip(g_scores, g_payloads))
-                    if s > 0.0
-                ]
-                hits.sort(key=lambda t: (-t[0], t[1]))
-                hits = hits[:k]
-                scores[qi] = -np.inf
-                gids[qi] = -1
-                payloads[qi] = -1
-                for j, (s, g, p) in enumerate(hits):
-                    scores[qi, j], gids[qi, j], payloads[qi, j] = s, g, p
+            m = min(k, g)
+            if m < g:
+                top = np.argpartition(-g_scores, m - 1, axis=1)[:, :m]
+            else:
+                top = np.broadcast_to(np.arange(g, dtype=np.int64), (qn, g))
+            g_top = np.take_along_axis(g_scores, top, axis=1)
+            g_top = np.where(g_top > 0.0, g_top, -np.inf)
+            all_s = np.concatenate([scores.astype(np.float64), g_top], axis=1)
+            all_g = np.concatenate([gids, g_base + top], axis=1)
+            all_p = np.concatenate([payloads, g_payloads[top]], axis=1)
+            # Invalid sealed slots carry gid -1: push them after real ids
+            # at equal (-inf) score by sorting on id with -1 mapped last.
+            order_key = np.where(all_g < 0, np.iinfo(np.int64).max, all_g)
+            pick = np.lexsort((order_key, -all_s), axis=-1)[:, :k]
+            scores = np.take_along_axis(all_s, pick, axis=1).astype(
+                scores.dtype
+            )
+            gids = np.take_along_axis(all_g, pick, axis=1)
+            payloads = np.take_along_axis(all_p, pick, axis=1)
         return scores, gids, payloads
 
     # ------------------------------------------------------------------

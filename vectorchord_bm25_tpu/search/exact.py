@@ -41,10 +41,15 @@ from ..utils.buckets import bucket_pow2 as _bucket
 # [4096-query batches, 1M+ docs].  Dispatches whose estimated gather
 # volume exceeds _LARGE_DISPATCH_BYTES are throttled to at most two in
 # flight: the dispatcher blocks on the oldest before issuing another.
+# Concurrent readers share the RW read lock, so the deque is guarded by
+# a mutex; block_until_ready runs outside it (blocking while holding it
+# would serialize independent dispatchers on device latency).
+import threading
 from collections import deque
 
 _LARGE_DISPATCH_BYTES = 256 << 20
 _large_inflight: "deque" = deque()
+_large_inflight_mu = threading.Lock()
 
 
 def _throttle_large(out, est_bytes: int):
@@ -52,9 +57,13 @@ def _throttle_large(out, est_bytes: int):
         return
     import jax
 
-    while len(_large_inflight) >= 2:
-        jax.block_until_ready(_large_inflight.popleft())
-    _large_inflight.append(out)
+    while True:
+        with _large_inflight_mu:
+            if len(_large_inflight) < 2:
+                _large_inflight.append(out)
+                return
+            oldest = _large_inflight.popleft()
+        jax.block_until_ready(oldest)
 
 
 @functools.lru_cache(maxsize=1)
