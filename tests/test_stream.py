@@ -58,7 +58,10 @@ class TestStreamIndex:
         assert np.array_equal(np.concatenate(docs), sdoc)
         assert np.array_equal(np.concatenate(tfs), stf)
         assert int(si.w_len.max()) <= 128
-        assert int(si.w_len[si.w_wd == 2].max(initial=0)) <= 64
+        # Every window must fit the kernels' fixed 32-word gather.
+        wl = si.w_len.astype(np.int64)
+        assert int((wl * si.w_dbits).max(initial=0)) <= 1024
+        assert int((wl * si.w_tfbits).max(initial=0)) <= 1024
 
     def test_window_bounds_dominate_impacts(self, rng):
         """w_maximp must upper-bound every posting impact in the window

@@ -15,19 +15,25 @@ Layout
 Each term's (doc-ascending) postings are cut into WINDOWS of at most
 128 postings.  Per window:
 
-- doc deltas are stored at a per-window byte width ``wd`` of 1 or 2
-  (chosen from the window's largest delta); wd=2 windows hold at most
-  64 postings so every window's doc data fits 32 u32 words (128 B) —
-  the kernels always gather exactly 32 words per window;
+- doc deltas are stored at a per-window bit width ``dbits`` in
+  {4, 8, 16} (chosen from the window's largest delta); every window's
+  doc data fits 32 u32 words (128 B), so 16-bit windows hold at most
+  64 postings — the kernels always gather exactly 32 words per window;
 - the window's first doc id is kept as an uncompressed 32-bit base
   (lane 0's stored delta is 0 and never read), so windows are
   independently decodable — the SummaryTuple-style re-anchoring that
   lets the engine jump into the middle of a posting list;
-- term frequencies are stored at width ``wtf`` of 0 (every tf in the
-  window is 1 — the dominant case — so nothing is stored), 1, or 2
-  bytes (2 only on corpora with tf > 255, per-corpus static);
+- term frequencies are stored at a per-window bit width ``tfbits`` in
+  {0, 2, 4, 8, 16}: 0 means every tf in the window is 1 (the dominant
+  case — nothing is stored);
 - deltas larger than 65535 force a window split (the next window
-  re-anchors), so u16 always suffices.
+  re-anchors), so 16 bits always suffice.
+
+Sub-byte widths matter at scale: on a multi-million-doc corpus a
+common term's doc gaps are mostly <= 15 (4-bit) and its tfs <= 3
+(2-bit), which is where the reference's bit-packer also operates
+(compression.rs bitwidth from block maxima); byte-granular packing
+would floor at ~2x the reference's bytes.
 
 Scores are reconstructed on the VPU per posting as
 ``tf * s0 / (tf + s1[fieldnorm])`` — the reference's per-posting
@@ -35,9 +41,9 @@ Scores are reconstructed on the VPU per posting as
 window by the host and the 256-entry s1 table resident in VMEM.
 Everything is lossless: ranks are exactly the float32 oracle's.
 
-Memory: ~1.1 B/posting doc side + ~0-1 B/posting tf side on typical
-corpora, plus 2 B/doc (fieldnorm u16 with a deleted bit) — below the
-reference's ~1.8 B/posting block format plus 8 B/doc DocumentTuple
+Memory: ~0.5-1.1 B/posting doc side + ~0-0.5 B/posting tf side on
+typical corpora, plus 2 B/doc (fieldnorm u16 with a deleted bit) —
+below the reference's block format plus 8 B/doc DocumentTuple
 (utils/memparity.py accounting).
 """
 
@@ -69,18 +75,18 @@ class StreamIndex:
     n_docs: int
     n_tokens: int
     n_postings: int
-    tf_width: int  # corpus-level tf storage width class: 1 or 2 bytes
+    tf_width: int  # corpus-level max tf storage class: 1 or 2 bytes
 
-    # Byte streams (u32-word aligned; 32 words of zero tail padding).
+    # Bit streams (u32-word aligned; 32 words of zero tail padding).
     doc_words: np.ndarray  # [Sd] uint32
     tf_words: np.ndarray  # [St] uint32
 
     # Per-window metadata ([W] entries, term-major, doc-ascending).
     w_token: np.ndarray  # [W] int32
     w_base: np.ndarray  # [W] int32 first doc id
-    w_len: np.ndarray  # [W] int32 (1..=128; <=64 when wd=2)
-    w_wd: np.ndarray  # [W] uint8 in {1, 2}
-    w_wtf: np.ndarray  # [W] uint8 in {0, tf_width}
+    w_len: np.ndarray  # [W] int32 (1..=128; <=64 when dbits/tfbits=16)
+    w_dbits: np.ndarray  # [W] uint8 in {4, 8, 16}
+    w_tfbits: np.ndarray  # [W] uint8 in {0, 2, 4, 8, 16}
     w_doff4: np.ndarray  # [W] int32 word offset into doc_words
     w_toff4: np.ndarray  # [W] int32 word offset into tf_words
     w_s0: np.ndarray  # [W] float32 term s0 = idf*(k1+1)
@@ -98,15 +104,16 @@ class StreamIndex:
 
     s1_table: np.ndarray  # [256] float32
 
-    # Packed per-window meta for fast host prep: len | wd<<8 | wtf<<12.
+    # Packed per-window meta for fast host prep:
+    # len | dbits<<8 | tfbits<<16.
     w_meta: np.ndarray = None  # [W] int32
 
     def __post_init__(self):
         if self.w_meta is None:
             self.w_meta = (
                 self.w_len.astype(np.int32)
-                | (self.w_wd.astype(np.int32) << 8)
-                | (self.w_wtf.astype(np.int32) << 12)
+                | (self.w_dbits.astype(np.int32) << 8)
+                | (self.w_tfbits.astype(np.int32) << 16)
             )
 
     @property
@@ -131,37 +138,38 @@ class StreamIndex:
         """Host reference decoder (tests / lookups): (docs, tfs) of
         window w — must round-trip the sealed segment's postings."""
         ln = int(self.w_len[w])
-        wd = int(self.w_wd[w])
-        wtf = int(self.w_wtf[w])
-        db = self.doc_words.view(np.uint8)[
-            4 * int(self.w_doff4[w]) : 4 * int(self.w_doff4[w]) + ln * wd
-        ]
-        deltas = (
-            db.astype(np.int64)
-            if wd == 1
-            else db.view(np.uint16).astype(np.int64)
+        deltas = _extract_bits(
+            self.doc_words, int(self.w_doff4[w]), ln, int(self.w_dbits[w])
         )
-        deltas = deltas.copy()
         deltas[0] = 0
         docs = int(self.w_base[w]) + np.cumsum(deltas)
-        if wtf == 0:
+        tfbits = int(self.w_tfbits[w])
+        if tfbits == 0:
             tfs = np.ones(ln, dtype=np.int64)
         else:
-            tb = self.tf_words.view(np.uint8)[
-                4 * int(self.w_toff4[w]) : 4 * int(self.w_toff4[w])
-                + ln * wtf
-            ]
-            tfs = (
-                tb.astype(np.int64)
-                if wtf == 1
-                else tb.view(np.uint16).astype(np.int64)
+            tfs = _extract_bits(
+                self.tf_words, int(self.w_toff4[w]), ln, tfbits
             )
         return docs, tfs
 
 
-def _word_pad(nbytes: np.ndarray) -> np.ndarray:
-    """Round byte extents up to whole u32 words."""
-    return (nbytes + 3) // 4
+def _extract_bits(
+    words: np.ndarray, off4: int, n: int, bits: int
+) -> np.ndarray:
+    """Host-side unpack of n values at `bits` width (2/4/8/16, dividing
+    32 — values never straddle word boundaries) from word offset off4."""
+    lane = np.arange(n, dtype=np.int64)
+    bitpos = lane * bits
+    w = words[off4 + (bitpos >> 5)].astype(np.int64)
+    return (w >> (bitpos & 31)) & ((1 << bits) - 1)
+
+
+def _bits_class(maxv: np.ndarray, classes) -> np.ndarray:
+    """Smallest width from `classes` (ascending) holding each max value."""
+    out = np.full(maxv.shape, classes[-1], dtype=np.int64)
+    for b in reversed(classes[:-1]):
+        out = np.where(maxv <= (1 << b) - 1, b, out)
+    return out
 
 
 def build_stream_index(
@@ -206,8 +214,8 @@ def build_stream_index(
             w_token=np.zeros(0, dtype=np.int32),
             w_base=np.zeros(0, dtype=np.int32),
             w_len=np.zeros(0, dtype=np.int32),
-            w_wd=np.zeros(0, dtype=np.uint8),
-            w_wtf=np.zeros(0, dtype=np.uint8),
+            w_dbits=np.zeros(0, dtype=np.uint8),
+            w_tfbits=np.zeros(0, dtype=np.uint8),
             w_doff4=np.zeros(0, dtype=np.int32),
             w_toff4=np.zeros(0, dtype=np.int32),
             w_s0=np.zeros(0, dtype=np.float32),
@@ -262,7 +270,9 @@ def build_stream_index(
     sub_is_run_start = run_start[sub_first]
 
     # Pair even sub-chunks (within their run) with their successor into
-    # one 128-posting u8 window when all deltas involved fit a byte.
+    # one 128-posting window when the combined deltas and tfs fit 8
+    # bits (128 lanes x 8 bits = the kernels' fixed 32-word gather).
+    sub_tfmax = np.maximum.reduceat(tf64, sub_first)
     run_of_sub = np.cumsum(sub_is_run_start) - 1
     sub_idx_in_run = np.arange(n_sub, dtype=np.int64) - np.repeat(
         np.flatnonzero(sub_is_run_start),
@@ -278,13 +288,9 @@ def build_stream_index(
         (sub_maxin[cand] <= 0xFF)
         & (sub_link[nxt] <= 0xFF)
         & (sub_maxin[nxt] <= 0xFF)
+        & (sub_tfmax[cand] <= 0xFF)
+        & (sub_tfmax[nxt] <= 0xFF)
     )
-    if tf_width == 2:
-        # The kernels gather exactly 32 u32 words of tf data per
-        # window; a 128-posting window at wtf=2 would need 64.  Merge
-        # only when both halves are all-tf-1 (wtf=0, nothing stored).
-        sub_tfmax = np.maximum.reduceat(tf64, sub_first)
-        merge[cand] &= (sub_tfmax[cand] <= 1) & (sub_tfmax[nxt] <= 1)
     # A sub-chunk is a window start unless it is merged into the
     # previous (even) one.
     absorbed = np.zeros(n_sub, dtype=bool)
@@ -296,24 +302,32 @@ def build_stream_index(
     # Per-window posting span.
     w_first = sub_first[win_sub_first]
     w_len = np.diff(np.append(w_first, p)).astype(np.int64)
-    # Window width: u8 iff merged pair (by construction all-byte) or a
-    # single sub-chunk whose interior deltas fit a byte.
-    w_merged = merge[win_sub_first]
-    w_wd = np.where(
-        w_merged | (sub_maxin[win_sub_first] <= 0xFF), 1, 2
-    ).astype(np.uint8)
     assert int(w_len.max()) <= WINDOW
-    assert int(w_len[w_wd == 2].max(initial=0)) <= _SUB
 
-    # tf width per window: 0 iff every tf in the window is 1.
+    # Stored deltas: window lane 0 holds 0 (the base anchors it).
+    win_start_post = sub_start & win_start_sub[sub_of]
+    win_of = np.cumsum(win_start_post) - 1  # window id per posting
+    lane = np.arange(p, dtype=np.int64) - w_first[win_of]
+    d_store = delta.copy()
+    d_store[lane == 0] = 0
+
+    # Per-window bit widths from the window maxima (the reference picks
+    # bitwidth per 128-block the same way, compression.rs:36-51; we
+    # quantize to shift-friendly classes).
+    w_dmax = np.maximum.reduceat(d_store, w_first)
+    w_dbits = _bits_class(w_dmax, (4, 8, 16))
     w_tfmax = np.maximum.reduceat(tf64, w_first)
-    w_wtf = np.where(w_tfmax <= 1, 0, tf_width).astype(np.uint8)
-    # Every window's tf data must fit the kernels' 32-word gather.
-    assert int(w_len[w_wtf == 2].max(initial=0)) <= _SUB
+    w_tfbits = np.where(
+        w_tfmax <= 1, 0, _bits_class(w_tfmax, (2, 4, 8, 16))
+    )
+    # 16-bit windows are single sub-chunks (<= 64 postings) by the
+    # merge rule, so every window fits the 32-word gather.
+    assert int((w_len * w_dbits).max()) <= 1024
+    assert int((w_len * w_tfbits).max()) <= 1024
 
-    # Byte layout (4-aligned per window).
-    doc_words_per_w = _word_pad(w_len * w_wd.astype(np.int64))
-    tf_words_per_w = _word_pad(w_len * w_wtf.astype(np.int64))
+    # Word layout (each window starts word-aligned).
+    doc_words_per_w = (w_len * w_dbits + 31) >> 5
+    tf_words_per_w = (w_len * w_tfbits + 31) >> 5
     w_doff4 = np.zeros(n_win, dtype=np.int64)
     np.cumsum(doc_words_per_w[:-1], out=w_doff4[1:])
     w_toff4 = np.zeros(n_win, dtype=np.int64)
@@ -328,33 +342,33 @@ def build_stream_index(
 
     doc_words = np.zeros(sd_words, dtype=np.uint32)
     tf_words = np.zeros(st_words, dtype=np.uint32)
-    doc_u8 = doc_words.view(np.uint8)
-    tf_u8 = tf_words.view(np.uint8)
 
-    # Stored deltas: window lane 0 holds 0 (the base anchors it).
-    win_start_post = sub_start & win_start_sub[sub_of]
-    win_of = np.cumsum(win_start_post) - 1  # window id per posting
-    lane = np.arange(p, dtype=np.int64) - w_first[win_of]
-    d_store = delta.copy()
-    d_store[lane == 0] = 0
-
-    pos = 4 * w_doff4[win_of] + lane * w_wd[win_of]
-    m1 = w_wd[win_of] == 1
-    doc_u8[pos[m1]] = d_store[m1].astype(np.uint8)
-    m2 = ~m1
-    if np.any(m2):
-        doc_words.view(np.uint16)[(pos[m2] // 2)] = d_store[m2].astype(
-            np.uint16
-        )
-
-    tpos = 4 * w_toff4[win_of] + lane * w_wtf[win_of]
-    t1 = w_wtf[win_of] == 1
-    tf_u8[tpos[t1]] = tf64[t1].astype(np.uint8)
-    t2 = w_wtf[win_of] == 2
-    if np.any(t2):
-        tf_words.view(np.uint16)[(tpos[t2] // 2)] = tf64[t2].astype(
-            np.uint16
-        )
+    # Bit-pack both streams: value v of lane l lands in word
+    # off4 + (l*bits)>>5 shifted by (l*bits)&31; widths divide 32, so
+    # values never straddle words and per-lane slots are disjoint
+    # (bitwise-or == add).
+    dbitpos = lane * w_dbits[win_of]
+    np.add.at(
+        doc_words,
+        w_doff4[win_of] + (dbitpos >> 5),
+        (
+            (d_store.astype(np.uint64) << (dbitpos & 31).astype(np.uint64))
+            & np.uint64(0xFFFFFFFF)
+        ).astype(np.uint32),
+    )
+    t_sel = w_tfbits[win_of] > 0
+    tbitpos = lane[t_sel] * w_tfbits[win_of][t_sel]
+    np.add.at(
+        tf_words,
+        w_toff4[win_of][t_sel] + (tbitpos >> 5),
+        (
+            (
+                tf64[t_sel].astype(np.uint64)
+                << (tbitpos & 31).astype(np.uint64)
+            )
+            & np.uint64(0xFFFFFFFF)
+        ).astype(np.uint32),
+    )
 
     # Per-window metadata.
     w_token = tok[w_first].astype(np.int32)
@@ -396,8 +410,8 @@ def build_stream_index(
         w_token=w_token,
         w_base=w_base,
         w_len=w_len.astype(np.int32),
-        w_wd=w_wd,
-        w_wtf=w_wtf,
+        w_dbits=w_dbits.astype(np.uint8),
+        w_tfbits=w_tfbits.astype(np.uint8),
         w_doff4=w_doff4.astype(np.int32),
         w_toff4=w_toff4.astype(np.int32),
         w_s0=w_s0,

@@ -10,10 +10,11 @@ compression.rs:15-34).
 
 Per window the kernel:
 
-1. gathers 32 u32 words of doc data and <=32 words of tf data
-   (uniform shapes — a wd=2 window holds at most 64 postings);
-2. extracts byte or halfword deltas with static shifts, selects by the
-   window's width, and reconstructs doc ids with a masked lane cumsum
+1. gathers 32 u32 words of doc data and 32 words of tf data (uniform
+   shapes — window lengths are capped so len*bits <= 1024 both sides);
+2. extracts each lane's value with a dynamic-width in-word shift
+   (bit position = lane * bits; widths divide 32, so values never
+   straddle words) and reconstructs doc ids with a masked lane cumsum
    anchored at the window's base doc;
 3. reconstructs each posting's score as tf*s0/(tf + s1[fieldnorm]) —
    the reference's per-posting Cache.evaluate (bm25.rs:334-359) — from
@@ -69,7 +70,7 @@ def _unpack_and_score(
     win_doff,  # [Q, P] int32 word offsets (pad -> zero tail)
     win_toff,  # [Q, P] int32
     win_base,  # [Q, P] int32 first doc id
-    win_meta,  # [Q, P] int32 len | wd<<8 | wtf<<12 (pad: 0)
+    win_meta,  # [Q, P] int32 len | dbits<<8 | tfbits<<16 (pad: 0)
     win_s0,  # [Q, P] float32 term s0
     n_docs: int,
 ):
@@ -78,6 +79,10 @@ def _unpack_and_score(
     Returns (doc [Q, P, 128] int32 with pad = n_docs, sc [Q, P, 128]
     float32 with dead lanes = 0).  Deleted docs score 0 here (the
     deleted bit rides the fieldnorm gather — no extra lookup).
+
+    Lane extraction is width-generic: lane l of a b-bit window sits at
+    bit l*b, i.e. word (l*b)>>5 shifted (l*b)&31 — one in-window gather
+    plus a variable shift per lane, uniform over all width classes.
     """
     import jax
     import jax.numpy as jnp
@@ -87,51 +92,34 @@ def _unpack_and_score(
     lane = jax.lax.broadcasted_iota(jnp.int32, (q, p, 128), 2)
 
     length = win_meta & 0xFF
-    wd = (win_meta >> 8) & 0x3
-    wtf = (win_meta >> 12) & 0x3
+    dbits = (win_meta >> 8) & 0x1F
+    tfbits = (win_meta >> 16) & 0x1F
     live = lane < length[..., None]
 
+    def extract(words, bits):
+        # words [Q, P, 32] uint32; bits [Q, P] in {0, 2, 4, 8, 16}.
+        bitpos = lane * bits[..., None]
+        w = jnp.take_along_axis(
+            words, (bitpos >> 5).astype(jnp.int32), axis=-1
+        )
+        shifted = jnp.right_shift(w, (bitpos & 31).astype(jnp.uint32))
+        mask = (
+            jnp.left_shift(
+                jnp.uint32(1), bits[..., None].astype(jnp.uint32)
+            )
+            - jnp.uint32(1)
+        )
+        return (shifted & mask).astype(jnp.int32)
+
     words = sd_words[win_doff[..., None] + iota32]  # [Q, P, 32] u32
-    by = jnp.stack(
-        [
-            words & 0xFF,
-            (words >> 8) & 0xFF,
-            (words >> 16) & 0xFF,
-            (words >> 24) & 0xFF,
-        ],
-        axis=-1,
-    ).reshape(q, p, 128)
-    hw = jnp.stack([words & 0xFFFF, words >> 16], axis=-1).reshape(q, p, 64)
-    hw = jnp.concatenate(
-        [hw, jnp.zeros((q, p, 64), dtype=hw.dtype)], axis=-1
-    )
-    delta = jnp.where((wd == 2)[..., None], hw, by).astype(jnp.int32)
+    delta = extract(words, dbits)
     delta = jnp.where(live & (lane > 0), delta, 0)
     doc = win_base[..., None] + jnp.cumsum(delta, axis=-1)
     doc = jnp.where(live, doc, n_docs)
 
     twords = st_words[win_toff[..., None] + iota32]
-    tby = jnp.stack(
-        [
-            twords & 0xFF,
-            (twords >> 8) & 0xFF,
-            (twords >> 16) & 0xFF,
-            (twords >> 24) & 0xFF,
-        ],
-        axis=-1,
-    ).reshape(q, p, 128)
-    thw = jnp.stack(
-        [twords & 0xFFFF, twords >> 16], axis=-1
-    ).reshape(q, p, 64)
-    thw = jnp.concatenate(
-        [thw, jnp.zeros((q, p, 64), dtype=thw.dtype)], axis=-1
-    )
-    wtf_e = wtf[..., None]
-    tf = jnp.where(
-        wtf_e == 0,
-        jnp.uint32(1),
-        jnp.where(wtf_e == 2, thw, tby).astype(jnp.uint32),
-    ).astype(jnp.float32)
+    tfv = extract(twords, tfbits)
+    tf = jnp.where((tfbits == 0)[..., None], 1, tfv).astype(jnp.float32)
 
     fn = doc_fn[doc].astype(jnp.int32)  # pad doc carries the deleted bit
     alive = fn < 256
