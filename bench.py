@@ -250,6 +250,20 @@ def main():
             seg, chunk=args.chunk, posting_mode=args.posting_mode
         )
     elif args.engine == "hybrid":
+        if args.posting_mode == "tf":
+            # The default heavy_mode='auto' routes everything away from
+            # the lazy BlockMaxEngine, so the tf stream would never be
+            # uploaded and the parity numbers would reflect the dense
+            # arrays — the flag would silently be inert.
+            import sys
+
+            print(
+                "--posting-mode tf is inert for engine=hybrid (the "
+                "pruned engine is lazy); use --engine blockmax or "
+                "--engine stream for equal-memory serving",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         engine = HybridEngine(
             seg, chunk=args.chunk, posting_mode=args.posting_mode
         )
@@ -317,8 +331,12 @@ def main():
                 # count these separately from real misses.
                 sc = oracle_scores(seg, query, dtype=np.float64)
                 kth = float(o_scores[-1]) if o_scores.size else 0.0
+                # ~2 f32 ulps of the kth score: only docs genuinely
+                # indistinguishable from the boundary at the engine's
+                # f32 precision are excused (ADVICE r2).
+                tol = 2.0 * float(np.spacing(np.float32(abs(kth))))
                 for d in missing:
-                    if abs(sc[d] - kth) <= 1e-6 * abs(kth):
+                    if abs(sc[d] - kth) <= tol:
                         tie_swaps += 1
                         matched.add(d)
             hits += len(matched)

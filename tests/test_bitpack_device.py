@@ -1,4 +1,4 @@
-"""Device unpack op + compressed segment storage round-trips."""
+"""Numpy bitpack codec + compressed segment storage round-trips."""
 
 import numpy as np
 import pytest
@@ -6,11 +6,7 @@ import pytest
 from vectorchord_bm25_tpu.index.sealed import build_sealed_segment
 from vectorchord_bm25_tpu.index.storage import load_segment, save_segment
 from vectorchord_bm25_tpu.native import loader
-from vectorchord_bm25_tpu.ops.bitpack import (
-    pack_u32_np,
-    unpack_block_device,
-    unpack_u32_np,
-)
+from vectorchord_bm25_tpu.ops.bitpack import pack_u32_np, unpack_u32_np
 from vectorchord_bm25_tpu.utils.options import IndexOptions
 
 from test_sealed import make_docs
@@ -40,18 +36,6 @@ class TestNumpyCodec:
             )
             out = unpack_u32_np(words, int(bits[i]), 128)
             np.testing.assert_array_equal(out, vals[i])
-
-
-class TestDeviceUnpack:
-    @pytest.mark.parametrize("bits", [1, 5, 11, 17, 24, 31])
-    def test_matches_numpy(self, rng, bits):
-        vals = rng.integers(0, 2**bits, size=128, dtype=np.uint64).astype(
-            np.uint32
-        )
-        packed = pack_u32_np(vals, bits)
-        padded = np.concatenate([packed, np.zeros(1, np.uint32)])
-        out = np.asarray(unpack_block_device(padded, bits, 128))
-        np.testing.assert_array_equal(out, vals)
 
 
 class TestCompressedStorage:

@@ -8,8 +8,8 @@ dense arrays resident in HBM:
 - token table        — TokenTuple analog   (tuples.rs:833-898)
 - block metadata     — SummaryTuple analog (tuples.rs:900-971)
 - padded block data  — BlockTuple analog   (tuples.rs:973-1069), stored
-  unpacked [B, 128] for VPU-friendly access (an optional bit-packed form
-  with a Pallas unpack kernel lives in ops/bitpack.py)
+  unpacked [B, 128] for VPU-friendly access (the bit-packed HBM serving
+  form is index/stream.py + search/stream.py — the StreamEngine)
 - doc table          — DocumentTuple + doc address tree analog
   (tuples.rs:756-831, 602-754): dense doc ids make the radix tree plain
   array indexing

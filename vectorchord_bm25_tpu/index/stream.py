@@ -16,7 +16,7 @@ Each term's (doc-ascending) postings are cut into WINDOWS of at most
 128 postings.  Per window:
 
 - doc deltas are stored at a per-window bit width ``dbits`` in
-  {4, 8, 16} (chosen from the window's largest delta); every window's
+  {2, 4, 8, 16} (chosen from the window's largest delta); every window's
   doc data fits 32 u32 words (128 B), so 16-bit windows hold at most
   64 postings — the kernels always gather exactly 32 words per window;
 - the window's first doc id is kept as an uncompressed 32-bit base
@@ -85,7 +85,7 @@ class StreamIndex:
     w_token: np.ndarray  # [W] int32
     w_base: np.ndarray  # [W] int32 first doc id
     w_len: np.ndarray  # [W] int32 (1..=128; <=64 when dbits/tfbits=16)
-    w_dbits: np.ndarray  # [W] uint8 in {4, 8, 16}
+    w_dbits: np.ndarray  # [W] uint8 in {2, 4, 8, 16}
     w_tfbits: np.ndarray  # [W] uint8 in {0, 2, 4, 8, 16}
     w_doff4: np.ndarray  # [W] int32 word offset into doc_words
     w_toff4: np.ndarray  # [W] int32 word offset into tf_words
@@ -315,7 +315,7 @@ def build_stream_index(
     # bitwidth per 128-block the same way, compression.rs:36-51; we
     # quantize to shift-friendly classes).
     w_dmax = np.maximum.reduceat(d_store, w_first)
-    w_dbits = _bits_class(w_dmax, (4, 8, 16))
+    w_dbits = _bits_class(w_dmax, (2, 4, 8, 16))
     w_tfmax = np.maximum.reduceat(tf64, w_first)
     w_tfbits = np.where(
         w_tfmax <= 1, 0, _bits_class(w_tfmax, (2, 4, 8, 16))

@@ -1,32 +1,23 @@
-"""Device-side bit-unpacking (XLA) + numpy reference codec.
+"""Numpy bit-packing codec for compressed on-disk segments.
 
-Complements the native host codecs (native/src/bitpack.cpp, the
-crates/simd analog): blocks bit-packed on the host can be unpacked on
-device with vectorized shifts — value i of width B lives at bit i*B of
-the little-endian packed stream, so each value straddles at most two
-32-bit words:
+Portable fallback for the native host codecs (native/src/bitpack.cpp,
+the crates/simd analog): value i of width B lives at bit i*B of the
+little-endian packed stream, so each value straddles at most two 32-bit
+words.  Used by index/storage.py when the native library is absent.
 
-    lo = words[(i*B) >> 5] >> (i*B & 31)
-    hi = words[(i*B) >> 5 + 1] << (32 - (i*B & 31))
-    v  = (lo | hi) & ((1 << B) - 1)
-
-All index/shift vectors are static for a given bitwidth, so XLA compiles
-this to pure VPU code (no scatter/serial loops).  The numpy pack/unpack
-pair is the portable fallback used by compressed on-disk segments when
-the native library is absent.
+Device-side serving from bit-packed HBM lives in search/stream.py (the
+StreamEngine decompresses windows in registers, fused with scoring) —
+it superseded the earlier generic single-block device unpack op that
+used to live here (see DESIGN.md, packed-HBM serving).
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import numpy as np
 
 __all__ = [
     "pack_u32_np",
     "unpack_u32_np",
-    "unpack_block_device",
 ]
 
 BLOCK = 128
@@ -69,23 +60,3 @@ def unpack_u32_np(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
     return ((lo | hi) & mask).astype(np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "count"))
-def unpack_block_device(packed, bits: int, count: int = BLOCK):
-    """Unpack one bit-packed stream on device (vectorized shifts).
-
-    packed: uint32 words (at least ceil(count*bits/32) + 1 entries —
-    callers pad the stream with one spill word).
-    """
-    import jax.numpy as jnp
-
-    if bits == 0:
-        return jnp.zeros(count, dtype=jnp.uint32)
-    bitpos = np.arange(count, dtype=np.int64) * bits
-    word = jnp.asarray(bitpos // 32, dtype=jnp.int32)
-    off = jnp.asarray(bitpos % 32, dtype=jnp.uint32)
-    w = packed.astype(jnp.uint32)
-    lo = w[word] >> off
-    hi_shift = (np.uint32(32) - off).astype(jnp.uint32) % np.uint32(32)
-    hi = jnp.where(off == 0, jnp.uint32(0), w[word + 1] << hi_shift)
-    mask = jnp.uint32((1 << bits) - 1)
-    return (lo | hi) & mask

@@ -96,20 +96,38 @@ def _unpack_and_score(
     tfbits = (win_meta >> 16) & 0x1F
     live = lane < length[..., None]
 
+    def unpack_static(words, b):
+        # Static-width unpack: lane l reads word l//(32//b) shifted by
+        # (l % (32//b))*b — with b static this is a repeat + constant
+        # shift vector, pure VPU work (no dynamic gather).
+        vper = 32 // b
+        nwords = (128 + vper - 1) // vper
+        rep = jnp.repeat(words[..., :nwords], vper, axis=-1)[..., :128]
+        if rep.shape[-1] < 128:
+            rep = jnp.concatenate(
+                [
+                    rep,
+                    jnp.zeros(
+                        (q, p, 128 - rep.shape[-1]), dtype=rep.dtype
+                    ),
+                ],
+                axis=-1,
+            )
+        sh = jnp.asarray(
+            (np.arange(128) % vper) * b, dtype=jnp.uint32
+        )
+        return jnp.right_shift(rep, sh) & jnp.uint32((1 << b) - 1)
+
     def extract(words, bits):
         # words [Q, P, 32] uint32; bits [Q, P] in {0, 2, 4, 8, 16}.
-        bitpos = lane * bits[..., None]
-        w = jnp.take_along_axis(
-            words, (bitpos >> 5).astype(jnp.int32), axis=-1
-        )
-        shifted = jnp.right_shift(w, (bitpos & 31).astype(jnp.uint32))
-        mask = (
-            jnp.left_shift(
-                jnp.uint32(1), bits[..., None].astype(jnp.uint32)
+        # Unpack at every static width, select per window — 4x the
+        # shifts but zero dynamic gathers; VPU-bound either way.
+        r = unpack_static(words, 16)
+        for b in (2, 4, 8):
+            r = jnp.where(
+                (bits == b)[..., None], unpack_static(words, b), r
             )
-            - jnp.uint32(1)
-        )
-        return (shifted & mask).astype(jnp.int32)
+        return r.astype(jnp.int32)
 
     words = sd_words[win_doff[..., None] + iota32]  # [Q, P, 32] u32
     delta = extract(words, dbits)
