@@ -163,17 +163,36 @@ def run_dataset_bench(args) -> None:
     )
     from vectorchord_bm25_tpu.data.synthetic import generate_beir_like
 
-    if args.dataset.startswith("synthetic:"):
-        ds = generate_beir_like(args.dataset.split(":", 1)[1])
+    shape = (
+        args.dataset.split(":", 1)[1]
+        if args.dataset.startswith("synthetic:")
+        else None
+    )
+    if shape is not None and shape.startswith("msmarco"):
+        # North-star scale: streamed corpus + out-of-core build
+        # (data/stream_synth.py); the corpus never materializes in RAM.
+        from vectorchord_bm25_tpu.data.harness import build_index_streaming
+        from vectorchord_bm25_tpu.data.stream_synth import generate_streaming
+
+        ds = generate_streaming(shape)
+        index = build_index_streaming(ds, engine=args.engine)
     else:
-        ds = load_beir(args.dataset)
-    index = build_index(ds, engine=args.engine)
+        if shape is not None:
+            ds = generate_beir_like(shape)
+        else:
+            ds = load_beir(args.dataset)
+        index = build_index(ds, engine=args.engine)
     queries = make_queries(ds, index)
     _, metrics, qps = run_dataset(
         ds, index, k=1000, batch=args.batch, queries=queries,
         rounds=args.rounds,
     )
-    mismatches = oracle_rank_parity(ds, index, k=args.k, queries=queries)
+    # Rank parity vs the float64 oracle; at multi-million-doc scale the
+    # per-query scalar oracle is the cost, so cap the audited subset.
+    psample = min(len(queries), 512 if ds.n_docs > 2_000_000 else len(queries))
+    mismatches = oracle_rank_parity(
+        ds, index, k=args.k, queries=queries[:psample]
+    )
     print(
         f"{ds.name}: {ds.n_docs} docs, {ds.n_queries} queries | "
         f"oracle rank-parity mismatches@{args.k}: {mismatches}",

@@ -20,7 +20,13 @@ from ..utils.options import IndexOptions
 from .beir import BeirDataset
 from .metrics import evaluate_run
 
-__all__ = ["build_index", "make_queries", "run_dataset", "oracle_rank_parity"]
+__all__ = [
+    "build_index",
+    "build_index_streaming",
+    "make_queries",
+    "run_dataset",
+    "oracle_rank_parity",
+]
 
 
 def build_index(
@@ -43,6 +49,34 @@ def build_index(
             docs, shards, options=options, seed=seed, engine=engine
         )
     return Bm25Index.build(docs, options=options, seed=seed, engine=engine)
+
+
+def build_index_streaming(
+    ds,
+    engine: str = "stream",
+    options: Optional[IndexOptions] = None,
+    seed: Optional[bytes] = None,
+    n_workers: int = 4,
+    spill_dir: Optional[str] = None,
+    progress=None,
+) -> Bm25Index:
+    """Index a StreamingBeirDataset (data/stream_synth.py) through the
+    bounded-memory out-of-core build — the corpus never materializes in
+    RAM (the am_build.rs worker-scan analog at MS MARCO scale)."""
+    from ..parallel.hostbuild import build_out_of_core
+
+    seed = seed if seed is not None else random_seed()
+    sealed = build_out_of_core(
+        ds.source,
+        seed,
+        options=options,
+        n_workers=n_workers,
+        spill_dir=spill_dir,
+        progress=progress,
+        n_docs=ds.n_docs,
+    )
+    options = options or IndexOptions()
+    return Bm25Index(sealed, seed, options, engine=engine)
 
 
 def make_queries(ds: BeirDataset, index) -> List[Query]:

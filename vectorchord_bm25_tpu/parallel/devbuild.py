@@ -36,7 +36,11 @@ from ..index.sealed import SealedSegment, build_sealed_segment_from_postings
 from ..text.intern import WIDTH, Document
 from ..utils.options import IndexOptions
 
-__all__ = ["build_shards_on_device", "device_doc_offsets"]
+__all__ = [
+    "build_shards_on_device",
+    "build_shards_on_device_from_postings",
+    "device_doc_offsets",
+]
 
 
 def _keys_to_u64_cols(keys: np.ndarray):
@@ -87,32 +91,11 @@ def device_doc_offsets(counts: np.ndarray, mesh, axis: str = "d"):
     return np.asarray(jax.jit(fn)(dev_counts)).reshape(-1)
 
 
-def build_shards_on_device(
-    documents: Sequence[Document],
-    bounds: np.ndarray,
-    payloads: np.ndarray,
-    options: IndexOptions,
-    mesh=None,
-    axis: str = "d",
-) -> List[SealedSegment]:
-    """Build one sealed segment per mesh device, sorting every shard's
-    postings on its own device in parallel.  Bit-identical to the host
-    per-shard build (ShardedIndex.build(device_build=False))."""
-    import jax
-    import jax.numpy as jnp
-    from jax import shard_map
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
+def _documents_to_shard_cols(documents, bounds):
+    """Host scan phase (the worker heap-scan analog): flatten each
+    shard's (key, doc, tf) postings into u64-column form."""
     n_shards = len(bounds) - 1
-    if mesh is None:
-        mesh = Mesh(np.array(jax.devices()[:n_shards]), (axis,))
-    if n_shards != mesh.devices.size:
-        raise ValueError("one shard per mesh device required")
-
-    # Host scan phase (the worker heap-scan analog): flatten each shard's
-    # (key, doc, tf) postings into u64-column form.
     shard_cols = []
-    p_needed = 1
     for i in range(n_shards):
         lo_b, hi_b = int(bounds[i]), int(bounds[i + 1])
         docs = documents[lo_b:hi_b]
@@ -129,28 +112,134 @@ def build_shards_on_device(
         doc_of = np.repeat(np.arange(len(docs), dtype=np.int32), counts)
         hi_col, lo_col = _keys_to_u64_cols(keys)
         shard_cols.append((hi_col, lo_col, doc_of, tfs, len(docs)))
-        p_needed = max(p_needed, total)
+    return shard_cols
 
-    # Stack padded [D, P] columns; pad postings carry the maximal key so
-    # the device sort pushes them to the tail.  The two u64 key columns
-    # split into four u32 columns (TPUs have no native 64-bit sort; u32
-    # column sorts are) — numeric order is preserved column-major.
-    pmax = p_needed
-    k32 = [
-        np.full((n_shards, pmax), np.uint32(0xFFFFFFFF)) for _ in range(4)
-    ]
-    doc = np.full((n_shards, pmax), np.int32(np.iinfo(np.int32).max))
-    tf = np.zeros((n_shards, pmax), dtype=np.uint32)
+
+def _postings_to_shard_cols(keys, doc_ids, tfs, doc_start, bounds):
+    """Shard columns from flat doc-grouped postings (the scale path —
+    no per-document Python objects): slice the CSR at the shard bounds
+    and rebase doc ids to shard-local."""
+    n_shards = len(bounds) - 1
+    keys = np.asarray(keys, dtype=f"S{WIDTH}")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs)
+    doc_start = np.asarray(doc_start, dtype=np.int64)
+    shard_cols = []
+    for i in range(n_shards):
+        lo_b, hi_b = int(bounds[i]), int(bounds[i + 1])
+        p0, p1 = int(doc_start[lo_b]), int(doc_start[hi_b])
+        hi_col, lo_col = _keys_to_u64_cols(keys[p0:p1])
+        shard_cols.append(
+            (
+                hi_col,
+                lo_col,
+                (doc_ids[p0:p1] - lo_b).astype(np.int32),
+                tfs[p0:p1].astype(np.uint32),
+                hi_b - lo_b,
+            )
+        )
+    return shard_cols
+
+
+def build_shards_on_device(
+    documents: Sequence[Document],
+    bounds: np.ndarray,
+    payloads: np.ndarray,
+    options: IndexOptions,
+    mesh=None,
+    axis: str = "d",
+) -> List[SealedSegment]:
+    """Build one sealed segment per mesh device, sorting every shard's
+    postings on its own device in parallel.  Bit-identical to the host
+    per-shard build (ShardedIndex.build(device_build=False))."""
+    return _build_shards_from_cols(
+        _documents_to_shard_cols(documents, bounds),
+        bounds, payloads, options, mesh, axis,
+    )
+
+
+def build_shards_on_device_from_postings(
+    keys, doc_ids, tfs, doc_start,
+    bounds: np.ndarray,
+    payloads: np.ndarray,
+    options: IndexOptions,
+    mesh=None,
+    axis: str = "d",
+) -> List[SealedSegment]:
+    """build_shards_on_device for flat doc-grouped postings (keys [P]
+    |S16, doc_ids [P], tfs [P], doc_start [N+1] CSR) — the
+    heap-scan-free scale path used by large builds."""
+    return _build_shards_from_cols(
+        _postings_to_shard_cols(keys, doc_ids, tfs, doc_start, bounds),
+        bounds, payloads, options, mesh, axis,
+    )
+
+
+def _build_shards_from_cols(
+    shard_cols,
+    bounds: np.ndarray,
+    payloads: np.ndarray,
+    options: IndexOptions,
+    mesh=None,
+    axis: str = "d",
+) -> List[SealedSegment]:
+    import jax
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n_shards = len(bounds) - 1
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), (axis,))
+    if n_shards != mesh.devices.size:
+        raise ValueError("one shard per mesh device required")
+
+    # Per-device staging: each shard's six padded [1, P] columns are
+    # placed directly on its own device and assembled into the global
+    # [D, P] sharded arrays — the host never materializes a dense
+    # [D, Pmax] stack (O(max-shard) host staging instead of
+    # O(devices x max-shard); am_build.rs workers likewise each hold
+    # only their own run).  Pad postings carry the maximal key so the
+    # device sort pushes them to the tail; the two u64 key columns split
+    # into four u32 columns (TPUs have no native 64-bit sort; u32 column
+    # sorts are) — numeric order is preserved column-major.
+    from ..utils.buckets import bucket_pow2
+
+    p_needed = max(max(c[0].size for c in shard_cols), 1)
+    pmax = bucket_pow2(p_needed, 8)  # bucket: stable compile shapes
+    devices = list(mesh.devices.flat)
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    fills = (
+        np.uint32(0xFFFFFFFF),
+        np.uint32(0xFFFFFFFF),
+        np.uint32(0xFFFFFFFF),
+        np.uint32(0xFFFFFFFF),
+        np.int32(np.iinfo(np.int32).max),
+        np.uint32(0),
+    )
+    per_dev = [[] for _ in range(6)]
     for i, (h, l, d_, t, _) in enumerate(shard_cols):
-        k32[0][i, : h.size] = (h >> np.uint64(32)).astype(np.uint32)
-        k32[1][i, : h.size] = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        k32[2][i, : l.size] = (l >> np.uint64(32)).astype(np.uint32)
-        k32[3][i, : l.size] = (l & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        doc[i, : d_.size] = d_
-        tf[i, : t.size] = t
+        cols = (
+            (h >> np.uint64(32)).astype(np.uint32),
+            (h & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (l >> np.uint64(32)).astype(np.uint32),
+            (l & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            d_.astype(np.int32),
+            t.astype(np.uint32),
+        )
+        for j, (col, fill) in enumerate(zip(cols, fills)):
+            row = np.full((1, pmax), fill)
+            row[0, : col.size] = col
+            per_dev[j].append(jax.device_put(row, devices[i]))
+            del row
 
-    def shard_put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    def assemble(parts):
+        return jax.make_array_from_single_device_arrays(
+            (n_shards, pmax), sharding, parts
+        )
+
+    global_cols = [assemble(parts) for parts in per_dev]
+    del per_dev
 
     def sort_shard(k0, k1, k2, k3, d_, t):
         # One vectorized sort per device: (key, doc) as five u32/i32 key
@@ -166,15 +255,8 @@ def build_shards_on_device(
         out_specs=tuple(P(axis) for _ in range(6)),
         check_vma=False,
     )
-    outs = jax.jit(fn)(*(shard_put(x) for x in (*k32, doc, tf)))
-    outs = [np.asarray(o) for o in outs]
-    s_hi = (outs[0].astype(np.uint64) << np.uint64(32)) | outs[1].astype(
-        np.uint64
-    )
-    s_lo = (outs[2].astype(np.uint64) << np.uint64(32)) | outs[3].astype(
-        np.uint64
-    )
-    s_doc, s_tf = outs[4], outs[5]
+    outs_dev = jax.jit(fn)(*global_cols)
+    del global_cols
 
     # Device collective doc-offset scan; must agree with the host bounds
     # (the contiguous-shard invariant).
@@ -186,19 +268,32 @@ def build_shards_on_device(
             f"device offset scan disagrees with host: {offsets} vs {expect}"
         )
 
-    # Flush phase per shard (flush.rs analog): the sorted run feeds the
-    # vectorized block-cutting pipeline directly.
+    # Flush phase per shard (flush.rs analog): pull each shard's sorted
+    # run back one device at a time (host staging stays O(max-shard)),
+    # trim the pad tail, and feed the vectorized block-cutting pipeline.
+    shard_of_dev = {}
+    for j in range(6):
+        for sh in outs_dev[j].addressable_shards:
+            shard_of_dev.setdefault(sh.index[0].start or 0, {})[j] = sh
     payloads = np.asarray(payloads, dtype=np.int64)
     shards = []
     for i, (h, l, d_, t, n_docs) in enumerate(shard_cols):
         total = h.size
-        keys_sorted = _u64_cols_to_keys(s_hi[i, :total], s_lo[i, :total])
+        row = shard_of_dev[i]
+        cols = [np.asarray(row[j].data).reshape(-1)[:total] for j in range(6)]
+        s_hi = (cols[0].astype(np.uint64) << np.uint64(32)) | cols[1].astype(
+            np.uint64
+        )
+        s_lo = (cols[2].astype(np.uint64) << np.uint64(32)) | cols[3].astype(
+            np.uint64
+        )
+        keys_sorted = _u64_cols_to_keys(s_hi, s_lo)
         lo_b = int(bounds[i])
         shards.append(
             build_sealed_segment_from_postings(
                 keys_sorted,
-                s_doc[i, :total].astype(np.int64),
-                s_tf[i, :total].astype(np.int64),
+                cols[4].astype(np.int64),
+                cols[5].astype(np.int64),
                 n_docs,
                 payloads=payloads[lo_b : lo_b + n_docs],
                 options=options,

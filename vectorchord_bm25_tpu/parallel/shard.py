@@ -52,6 +52,22 @@ from ..utils.buckets import bucket_pow2 as _bucket
 _INT_MAX = np.int32(np.iinfo(np.int32).max)
 
 
+def _mesh_fits(mesh, n_shards: int) -> bool:
+    """True when a one-device-per-shard mesh is available (explicit, or
+    constructible from the default backend's devices) — the default
+    trigger for the device-mesh build."""
+    if n_shards < 2:
+        return False
+    if mesh is not None:
+        return int(mesh.devices.size) == n_shards
+    import jax
+
+    try:
+        return len(jax.devices()) >= n_shards
+    except RuntimeError:
+        return False
+
+
 @dataclass
 class _ShardView:
     """Host-side per-shard lookup state."""
@@ -228,7 +244,7 @@ class ShardedIndex:
         mesh=None,
         engine: str = "exact",
         seed: Optional[bytes] = None,
-        device_build: bool = False,
+        device_build: Optional[bool] = None,
         posting_mode: str = "impact",
     ) -> "ShardedIndex":
         """Data-parallel build: contiguous corpus shards, offset-rebased
@@ -237,7 +253,10 @@ class ShardedIndex:
         device_build=True runs the posting sort and global-stats combine
         on the device mesh (shard_map + psum; parallel/devbuild.py) — the
         am_build.rs:353-527 analog; False builds each shard on host.
-        Both produce bit-identical segments.
+        Both produce bit-identical segments.  Default (None): device
+        build whenever a one-device-per-shard mesh is available — the
+        reference likewise parallelizes whenever workers exist
+        (am_build.rs:353-527).
         """
         options = options or IndexOptions()
         n = len(documents)
@@ -245,6 +264,8 @@ class ShardedIndex:
             payloads = np.arange(n, dtype=np.int64)
         payloads = np.asarray(payloads, dtype=np.int64)
         bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+        if device_build is None:
+            device_build = _mesh_fits(mesh, n_shards)
         if device_build:
             from .devbuild import build_shards_on_device
 
@@ -260,6 +281,66 @@ class ShardedIndex:
                         list(documents[lo:hi]),
                         payloads=payloads[lo:hi],
                         options=options,
+                    )
+                )
+        return cls(
+            shards, options, mesh=mesh, engine=engine, seed=seed,
+            posting_mode=posting_mode,
+        )
+
+    @classmethod
+    def build_from_postings(
+        cls,
+        keys: np.ndarray,
+        doc_ids: np.ndarray,
+        tfs: np.ndarray,
+        doc_start: np.ndarray,
+        n_shards: int,
+        payloads: Optional[Sequence[int]] = None,
+        options: Optional[IndexOptions] = None,
+        mesh=None,
+        engine: str = "exact",
+        seed: Optional[bytes] = None,
+        device_build: Optional[bool] = None,
+        posting_mode: str = "impact",
+    ) -> "ShardedIndex":
+        """`build` for flat doc-grouped postings (keys [P] |S16, doc_ids
+        [P] ascending, tfs [P], doc_start [N+1] CSR) — the scale path
+        with no per-document Python objects, mirroring the reference's
+        heap-tuple scan feeding the parallel build."""
+        from ..index.sealed import build_sealed_segment_from_postings
+
+        options = options or IndexOptions()
+        doc_start = np.asarray(doc_start, dtype=np.int64)
+        n = doc_start.size - 1
+        if payloads is None:
+            payloads = np.arange(n, dtype=np.int64)
+        payloads = np.asarray(payloads, dtype=np.int64)
+        bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+        if device_build is None:
+            device_build = _mesh_fits(mesh, n_shards)
+        if device_build:
+            from .devbuild import build_shards_on_device_from_postings
+
+            shards = build_shards_on_device_from_postings(
+                keys, doc_ids, tfs, doc_start, bounds, payloads,
+                options, mesh=mesh,
+            )
+        else:
+            doc_ids = np.asarray(doc_ids, dtype=np.int64)
+            shards = []
+            for i in range(n_shards):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                p0, p1 = int(doc_start[lo]), int(doc_start[hi])
+                shards.append(
+                    build_sealed_segment_from_postings(
+                        np.asarray(keys[p0:p1], dtype=f"S{WIDTH}"),
+                        doc_ids[p0:p1] - lo,
+                        np.asarray(tfs[p0:p1], dtype=np.int64),
+                        hi - lo,
+                        payloads=payloads[lo:hi],
+                        options=options,
+                        doc_grouped=True,
                     )
                 )
         return cls(

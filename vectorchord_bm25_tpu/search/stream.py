@@ -50,7 +50,9 @@ __all__ = ["StreamEngine"]
 def _jitted_stream_dense():
     import jax
 
-    return jax.jit(_stream_dense, static_argnames=("k", "n_docs"))
+    return jax.jit(
+        _stream_dense, static_argnames=("k", "n_docs", "dwidths", "twidths")
+    )
 
 
 @functools.lru_cache(maxsize=1)
@@ -58,8 +60,19 @@ def _jitted_stream_sparse():
     import jax
 
     return jax.jit(
-        _stream_sparse, static_argnames=("k", "n_docs", "seg_steps")
+        _stream_sparse,
+        static_argnames=("k", "n_docs", "seg_steps", "dwidths", "twidths"),
     )
+
+
+def _active_widths(meta: np.ndarray):
+    """Static (doc, tf) width classes present in a dispatch's window
+    metadata — the kernel specializes to exactly these (pad windows are
+    meta 0 and masked dead, so width 0 is dropped)."""
+    u = np.unique(meta)
+    dw = tuple(sorted({int(b) for b in np.unique((u >> 8) & 0x1F)} - {0}))
+    tw = tuple(sorted({int(b) for b in np.unique((u >> 16) & 0x1F)} - {0}))
+    return dw or (8,), tw
 
 
 def _unpack_and_score(
@@ -73,6 +86,8 @@ def _unpack_and_score(
     win_meta,  # [Q, P] int32 len | dbits<<8 | tfbits<<16 (pad: 0)
     win_s0,  # [Q, P] float32 term s0
     n_docs: int,
+    dwidths=(2, 4, 8, 16),
+    twidths=(2, 4, 8, 16),
 ):
     """Decompress gathered windows and score every posting.
 
@@ -80,9 +95,10 @@ def _unpack_and_score(
     float32 with dead lanes = 0).  Deleted docs score 0 here (the
     deleted bit rides the fieldnorm gather — no extra lookup).
 
-    Lane extraction is width-generic: lane l of a b-bit window sits at
-    bit l*b, i.e. word (l*b)>>5 shifted (l*b)&31 — one in-window gather
-    plus a variable shift per lane, uniform over all width classes.
+    dwidths/twidths: the width classes present in THIS dispatch (static;
+    from _active_widths).  The kernel unpacks only those: the dominant
+    single-width dispatch compiles to one static unpack with no selects,
+    and an all-tf-1 dispatch skips the tf stream gather entirely.
     """
     import jax
     import jax.numpy as jnp
@@ -118,26 +134,33 @@ def _unpack_and_score(
         )
         return jnp.right_shift(rep, sh) & jnp.uint32((1 << b) - 1)
 
-    def extract(words, bits):
-        # words [Q, P, 32] uint32; bits [Q, P] in {0, 2, 4, 8, 16}.
-        # Unpack at every static width, select per window — 4x the
-        # shifts but zero dynamic gathers; VPU-bound either way.
-        r = unpack_static(words, 16)
-        for b in (2, 4, 8):
+    def extract(words, bits, widths):
+        # words [Q, P, 32] uint32; bits [Q, P]; widths static non-zero.
+        # Unpack at each active width, select per window — no dynamic
+        # gathers; garbage from the default width is masked by callers
+        # (dead lanes / tfbits==0 select).
+        r = unpack_static(words, widths[-1])
+        for b in widths[:-1]:
             r = jnp.where(
                 (bits == b)[..., None], unpack_static(words, b), r
             )
         return r.astype(jnp.int32)
 
     words = sd_words[win_doff[..., None] + iota32]  # [Q, P, 32] u32
-    delta = extract(words, dbits)
+    delta = extract(words, dbits, dwidths)
     delta = jnp.where(live & (lane > 0), delta, 0)
     doc = win_base[..., None] + jnp.cumsum(delta, axis=-1)
     doc = jnp.where(live, doc, n_docs)
 
-    twords = st_words[win_toff[..., None] + iota32]
-    tfv = extract(twords, tfbits)
-    tf = jnp.where((tfbits == 0)[..., None], 1, tfv).astype(jnp.float32)
+    if twidths:
+        twords = st_words[win_toff[..., None] + iota32]
+        tfv = extract(twords, tfbits, twidths)
+        tf = jnp.where((tfbits == 0)[..., None], 1, tfv).astype(
+            jnp.float32
+        )
+    else:
+        # Every window in this dispatch is all-tf-1: skip the stream.
+        tf = jnp.ones((q, p, 128), dtype=jnp.float32)
 
     fn = doc_fn[doc].astype(jnp.int32)  # pad doc carries the deleted bit
     alive = fn < 256
@@ -153,6 +176,8 @@ def _stream_dense(
     filter_mask,  # [N+1] float32 (1 keep)
     k: int,
     n_docs: int,
+    dwidths=(2, 4, 8, 16),
+    twidths=(2, 4, 8, 16),
 ):
     import jax
     import jax.numpy as jnp
@@ -160,6 +185,7 @@ def _stream_dense(
     doc, sc = _unpack_and_score(
         sd_words, st_words, doc_fn, s1_table,
         win_doff, win_toff, win_base, win_meta, win_s0, n_docs,
+        dwidths, twidths,
     )
 
     def accumulate(docs_q, scores_q):
@@ -180,6 +206,8 @@ def _stream_sparse(
     k: int,
     n_docs: int,
     seg_steps: int,
+    dwidths=(2, 4, 8, 16),
+    twidths=(2, 4, 8, 16),
 ):
     """Sort-based exact reduction (cost ~ postings, independent of
     n_docs) — identical post-gather algorithm to
@@ -190,6 +218,7 @@ def _stream_sparse(
     doc, sc = _unpack_and_score(
         sd_words, st_words, doc_fn, s1_table,
         win_doff, win_toff, win_base, win_meta, win_s0, n_docs,
+        dwidths, twidths,
     )
     sc = sc * filter_mask[doc]
 
@@ -416,6 +445,7 @@ class StreamEngine:
                     jnp.asarray(s0),
                     fm_dev,
                 )
+                dw, tw = _active_widths(meta)
                 if use_sparse:
                     mt = int(max(1, n_terms[sub].max(initial=1)))
                     out = _jitted_stream_sparse()(
@@ -423,9 +453,13 @@ class StreamEngine:
                         k=kk,
                         n_docs=n_docs,
                         seg_steps=int(mt - 1).bit_length(),
+                        dwidths=dw,
+                        twidths=tw,
                     )
                 else:
-                    out = _jitted_stream_dense()(*args, k=kk, n_docs=n_docs)
+                    out = _jitted_stream_dense()(
+                        *args, k=kk, n_docs=n_docs, dwidths=dw, twidths=tw
+                    )
                 _throttle_large(out, sub.size * p_bucket * 128 * 8)
                 pending.append((sub, out))
 
