@@ -213,6 +213,62 @@ def run_dataset_bench(args) -> None:
     )
 
 
+def run_growing_bench(args, seg, engine, batches) -> None:
+    """--growing N: batched QPS through the facade's sealed+growing
+    merge (one [Q, G] vectorized growing pass per batch, lexsort merge;
+    search.rs:83-135 semantics), vs the sealed-only facade path."""
+    import sys
+
+    from vectorchord_bm25_tpu.index.bm25index import Bm25Index
+    from vectorchord_bm25_tpu.text.intern import Document, random_seed
+    from vectorchord_bm25_tpu.utils.options import IndexOptions
+
+    index = Bm25Index(seg, random_seed(), IndexOptions(), engine=args.engine)
+    index._engine = engine  # reuse the already-uploaded engine
+
+    def qps_of():
+        best = 0.0
+        index.search_batch(batches[0], args.k)  # warmup/compile
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            n = 0
+            for batch in batches:
+                index.search_batch(batch, args.k)
+                n += len(batch)
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+
+    sealed_qps = qps_of()
+
+    rng = np.random.default_rng(9)
+    for j in range(args.growing):
+        n_terms = int(rng.integers(4, 2 * args.avg_len))
+        ids = (rng.zipf(1.3, size=n_terms) % args.vocab).tolist()
+        index.insert(
+            Document.from_int_ids(ids), payload=args.docs + j
+        )
+    growing_qps = qps_of()
+
+    print(
+        f"sealed-only {sealed_qps:.1f} QPS -> +{args.growing} growing "
+        f"{growing_qps:.1f} QPS ({growing_qps / sealed_qps:.2f}x)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"synthetic_{args.docs}_docs_growing_"
+                f"{args.growing}_batched_qps_top{args.k}",
+                "value": round(growing_qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(growing_qps / 28.38, 2),
+                "sealed_only_qps": round(sealed_qps, 2),
+                "growing_over_sealed": round(growing_qps / sealed_qps, 3),
+            }
+        )
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--docs", type=int, default=131072)
@@ -238,7 +294,15 @@ def main():
     parser.add_argument(
         "--dataset",
         default=None,
-        help="BEIR dataset dir, or synthetic:scifact / synthetic:scifact-mini",
+        help="BEIR dataset dir, or synthetic:scifact / synthetic:scifact-mini"
+        " / synthetic:msmarco (streamed 8.8M-doc out-of-core build)",
+    )
+    parser.add_argument(
+        "--growing",
+        type=int,
+        default=0,
+        help="insert N growing (unsealed) docs and serve batches through "
+        "the facade's sealed+growing merge path (VERDICT r2 #3 evidence)",
     )
     args = parser.parse_args()
 
@@ -296,6 +360,10 @@ def main():
         queries[i : i + args.batch] for i in range(0, len(queries), args.batch)
     ]
     batches = [b for b in batches if len(b) == args.batch]
+
+    if args.growing:
+        run_growing_bench(args, seg, engine, batches)
+        return
 
     # Warmup (compile).
     engine.search(batches[0], args.k)

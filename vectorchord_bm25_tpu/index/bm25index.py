@@ -266,8 +266,9 @@ class Bm25Index:
         g_dead = np.asarray(self.growing.deleted, dtype=bool)
         g_newly = growing_mask & ~g_dead
         g_slots = np.flatnonzero(g_newly)
-        for i in g_slots:
-            self.growing.deleted[i] = True
+        # Through apply_delete_mask so the device engine's bitmap is
+        # marked stale (it re-uploads on the next batched search).
+        self.growing.apply_delete_mask(g_newly)
         total = count + int(g_slots.size)
         if total and self._wal is not None:
             self._wal.append(
@@ -554,6 +555,19 @@ class Bm25Index:
 
     def _search_batch_locked(self, queries, k, filter_fn=None):
         qn = len(queries)
+        g = len(self.growing)
+        g_fin = None
+        if g:
+            # Dispatch the growing segment's device top-k first so it
+            # overlaps the sealed dispatch below.
+            g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
+            keep = (
+                _eval_predicate(filter_fn, g_payloads)
+                if filter_fn is not None
+                else None
+            )
+            g_fin = self.growing.topk_batch_async(queries, k, keep)
+
         if self.sealed.n_docs:
             mask = self._sealed_filter_mask(filter_fn)
             scores, slots, payloads = self.engine().search(
@@ -568,28 +582,20 @@ class Bm25Index:
             slots = np.full((qn, k), -1, dtype=np.int64)
             payloads = np.full((qn, k), -1, dtype=np.int64)
 
-        g = len(self.growing)
         if g:
-            # One [Q, G] pass over the growing segment (no per-query
-            # re-concatenation), then a vectorized lexsort merge.
-            g_scores = self.growing.score_batch(queries)
-            g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
-            if filter_fn is not None:
-                keep = _eval_predicate(filter_fn, g_payloads)
-                g_scores[:, ~keep] = 0.0
+            # Vectorized lexsort merge of sealed [Q, k] + growing [Q, k].
             g_base = self.sealed.n_docs
-            m = min(k, g)
-            if m < g:
-                top = np.argpartition(-g_scores, m - 1, axis=1)[:, :m]
-            else:
-                top = np.broadcast_to(
-                    np.arange(g, dtype=np.int64), (qn, g)
-                )
-            g_top_scores = np.take_along_axis(g_scores, top, axis=1)
-            g_top_scores = np.where(g_top_scores > 0.0, g_top_scores, -np.inf)
+            g_top_scores, top = g_fin()
             all_scores = np.concatenate([scores, g_top_scores], axis=1)
-            all_order = np.concatenate([slots, g_base + top], axis=1)
-            all_payloads = np.concatenate([payloads, g_payloads[top]], axis=1)
+            # Pad slots (-1) sort after real ids at equal -inf score.
+            g_ids = np.where(top >= 0, g_base + top, np.iinfo(np.int64).max)
+            all_order = np.concatenate(
+                [np.where(slots < 0, np.iinfo(np.int64).max, slots), g_ids],
+                axis=1,
+            )
+            all_payloads = np.concatenate(
+                [payloads, g_payloads[np.maximum(top, 0)]], axis=1
+            )
             pick = np.lexsort((all_order, -all_scores), axis=-1)[:, :k]
             scores = np.take_along_axis(all_scores, pick, axis=1)
             payloads = np.take_along_axis(all_payloads, pick, axis=1)

@@ -46,6 +46,11 @@ class GrowingSegment:
         # rebuilt lazily after inserts (deletes don't touch it — the
         # delete bitmap is applied at scoring time).
         self._flat = None
+        # Lazily built device engine over the growing postings (batched
+        # serving); invalidated by inserts, delete-bitmap refreshed in
+        # place (cheap) — see device_engine().
+        self._dev_engine = None
+        self._dev_engine_deleted_dirty = False
 
     def __len__(self) -> int:
         return len(self.documents)
@@ -64,6 +69,7 @@ class GrowingSegment:
         self._tid.append(tids.astype(np.int64))
         self._tf.append(document.values.astype(np.int64))
         self._flat = None
+        self._dev_engine = None
         return len(self.documents) - 1
 
     def bulkdelete(self, predicate) -> int:
@@ -82,6 +88,8 @@ class GrowingSegment:
             if not self.deleted[i]:
                 self.deleted[i] = True
                 count += 1
+        if count:
+            self._dev_engine_deleted_dirty = True
         return count
 
     def score(
@@ -92,12 +100,16 @@ class GrowingSegment:
         """Brute-force scores for all live growing docs against the query.
 
         Returns (scores float64 [G], payloads int64 [G]); scores use the
-        sealed segment's Cache tables (search.rs:83-135 semantics).
-        Deleted / filtered docs score 0 (and are thus excluded by the
-        score > 0 rule).  Vectorized over the flattened posting arrays.
+        sealed segment's Cache tables (search.rs:83-135 semantics) and
+        are computed in FLOAT32 — per-posting impacts rounded to f32 and
+        accumulated in f32, term-ascending per doc — exactly like the
+        sealed engines, the device growing engine, and the reference
+        (bm25.rs f32 idf/tf, search.rs f32 accumulation), so the single-
+        query and batched paths rank near-ties identically.  Deleted /
+        filtered docs score 0 (excluded by the score > 0 rule).
         """
         g = len(self.documents)
-        scores = np.zeros(g, dtype=np.float64)
+        scores = np.zeros(g, dtype=np.float32)
         if g == 0:
             return scores, np.zeros(0, dtype=np.int64)
 
@@ -128,11 +140,16 @@ class GrowingSegment:
             if np.any(hit):
                 h_doc = doc_of[hit]
                 h_tid = tids[hit]
-                h_tf = tfs[hit].astype(np.float64)
+                h_tf = tfs[hit].astype(np.float32)
                 fn = np.asarray(self.fieldnorms, dtype=np.int64)[h_doc]
-                s1 = tables.s1_table[fn]
-                contrib = (h_tf * s0_all[h_tid]) / (h_tf + s1)
-                np.add.at(scores, h_doc, contrib)
+                s1 = tables.s1_table[fn].astype(np.float32)
+                contrib = (
+                    h_tf * s0_all[h_tid].astype(np.float32)
+                ) / (h_tf + s1)
+                # add.at applies in array order (doc-major, term-asc
+                # within doc) — the device lane order, so f32 sums are
+                # bit-identical.
+                np.add.at(scores, h_doc, contrib.astype(np.float32))
             dead = np.asarray(self.deleted, dtype=bool)
             scores[dead] = 0.0
             if filter_fn is not None:
@@ -142,7 +159,9 @@ class GrowingSegment:
                     filter_fn, np.asarray(self.payloads, dtype=np.int64)
                 )
                 scores[~keep] = 0.0
-        return scores, np.asarray(self.payloads, dtype=np.int64)
+        return scores.astype(np.float64), np.asarray(
+            self.payloads, dtype=np.int64
+        )
 
     def _flat_postings(self):
         """(tid_sorted, impact_sorted, doc_of_sorted): the growing CSR
@@ -212,6 +231,209 @@ class GrowingSegment:
         if dead.any():
             scores[:, dead] = 0.0
         return scores
+
+    def device_engine(self):
+        """StreamEngine over the growing postings for batched serving.
+
+        The growing docs are packed into a mini sealed segment whose
+        "keys" are the sealed token ids (big-endian u32 in 16-byte
+        keys), with the SEALED statistics injected via global_stats and
+        the true fieldnorms (full document length, unknown terms
+        included) overriding the build's known-terms-only lengths — so
+        device scores equal the host scorer's
+        tf*s0_sealed/(tf+s1_sealed[fn]) in float32.  Rebuilt after
+        inserts; deletes only refresh the engine's bitmap.  This is how
+        a non-empty growing segment serves 4096-query batches without
+        O(Q x G) host work (the reference's per-query heap merge,
+        search.rs:83-135, is one backend = one query; our hot path is
+        the batch).
+        """
+        if self._dev_engine is None:
+            from .sealed import build_sealed_segment_from_postings
+            from ..search.stream import StreamEngine
+
+            g = len(self.documents)
+            # (tid, doc)-sorted raw postings with synthetic keys.
+            tf_flat = (
+                np.concatenate(self._tf)
+                if self._tf
+                else np.zeros(0, dtype=np.int64)
+            )
+            tid_flat = (
+                np.concatenate(self._tid)
+                if self._tid
+                else np.zeros(0, dtype=np.int64)
+            )
+            known = tid_flat >= 0
+            tf_known = tf_flat[known]
+            doc_flat = np.repeat(
+                np.arange(g, dtype=np.int64),
+                [t.size for t in self._tid],
+            )[known]
+            tid_known = tid_flat[known]
+            order2 = np.lexsort((doc_flat, tid_known))
+            t_s = tid_known[order2]
+            d_s = doc_flat[order2]
+            tf_s = tf_known[order2]
+            kb = np.zeros((t_s.size, 16), dtype=np.uint8)
+            if t_s.size:
+                kb[:, :4] = (
+                    t_s.astype(">u4").view(np.uint8).reshape(-1, 4)
+                )
+            keys = kb.reshape(-1).view("S16")
+            seg = build_sealed_segment_from_postings(
+                keys,
+                d_s,
+                tf_s,
+                g,
+                payloads=np.arange(max(g, 1), dtype=np.int64)[:g],
+                options=getattr(self.sealed, "options", None),
+                presorted=True,
+            )
+            # True fieldnorms (full doc length incl. sealed-unknown
+            # terms) — the build saw only known-term postings.
+            seg.doc_fieldnorm = np.asarray(
+                self.fieldnorms, dtype=seg.doc_fieldnorm.dtype
+            )
+            # Sealed s0 per mini-segment token (0 for none — cannot
+            # happen: every tid came from the sealed table).
+            seg_tids = (
+                seg.token_keys.view(np.uint8)
+                .reshape(-1, 16)[:, :4]
+                .copy()
+                .view(">u4")
+                .astype(np.int64)
+                .reshape(-1)
+            )
+            s0v = self.sealed.token_s0()[seg_tids].astype(np.float32)
+            stats = (
+                int(self.sealed.n_docs),
+                int(self.sealed.sum_dl),
+                s0v,
+            )
+            self._dev_engine = StreamEngine(seg, global_stats=stats)
+            self._dev_engine.set_deleted(
+                np.asarray(self.deleted, dtype=bool)
+            )
+            self._dev_engine_deleted_dirty = False
+        elif self._dev_engine_deleted_dirty:
+            self._dev_engine.set_deleted(
+                np.asarray(self.deleted, dtype=bool)
+            )
+            self._dev_engine_deleted_dirty = False
+        return self._dev_engine
+
+    def topk_batch_async(self, queries, k: int, keep=None):
+        """Dispatch the growing top-k on device; returns finalize() ->
+        (scores [Q, k] float64 -inf-padded, idx [Q, k] int64 -1-padded)
+        ranked (score desc, id asc) — the merge-ready form of
+        topk_batch, overlappable with the sealed dispatch."""
+        g = len(self.documents)
+        qn = len(queries)
+        if g == 0 or qn == 0:
+            s = np.full((qn, k), -np.inf, dtype=np.float64)
+            i = np.full((qn, k), -1, dtype=np.int64)
+            return lambda: (s, i)
+        engine = self.device_engine()
+        # Re-key queries into the mini segment's tid-space (one batched
+        # lookup; within-query tids ascend because sealed tids are
+        # sorted-key ranks, so the synthetic keys stay sorted).
+        from ..text.intern import Query
+        from ..utils.batchkeys import batch_lookup
+
+        ids, qidx = batch_lookup(self.sealed.lookup_tokens, queries)
+        kb = np.zeros((ids.size, 16), dtype=np.uint8)
+        if ids.size:
+            kb[:, :4] = ids.astype(">u4").view(np.uint8).reshape(-1, 4)
+        keys_all = kb.reshape(-1).view("S16")
+        counts = np.bincount(qidx, minlength=qn) if ids.size else np.zeros(
+            qn, dtype=np.int64
+        )
+        gqueries = [
+            Query(keys=a)
+            for a in np.split(keys_all, np.cumsum(counts)[:-1])
+        ]
+        fmask = None
+        if keep is not None:
+            fmask = np.asarray(keep, dtype=np.float32)
+        fin = engine.search_async(gqueries, k, filter_mask=fmask)
+
+        def finalize():
+            s_f32, ids, _ = fin()
+            s = s_f32.astype(np.float64)
+            ids = np.asarray(ids, dtype=np.int64)
+            s[ids < 0] = -np.inf
+            return s, ids
+
+        return finalize
+
+    def topk_batch(self, queries, k: int, keep=None):
+        """Per-query top-m growing hits without the dense [Q, G] matrix.
+
+        Returns (scores [Q, m] float64 with -inf padding, idx [Q, m]
+        int64 growing-local ids with -1 padding), m = min(k, G), ranked
+        (score desc, id asc) — ready for the sealed-results lexsort
+        merge.  Cost is O(hits log hits) in the number of actual
+        (query, growing-posting) matches, not O(Q x G): at batch 4096
+        with 10k growing docs the dense pass zeroes and scans 41M cells
+        per batch while typical hit counts are ~100k (the round-3
+        growing bench measured the dense form collapsing batched QPS to
+        0.23x sealed-only).
+
+        keep: optional [G] bool mask (prefilter); deleted docs and
+        score<=0 are always excluded (bulkdelete.rs deleted-flag
+        semantics)."""
+        from ..utils.batchkeys import batch_lookup, group_positions
+
+        qn = len(queries)
+        g = len(self.documents)
+        m = min(k, g)
+        scores = np.full((qn, max(m, 1)), -np.inf, dtype=np.float64)
+        idx = np.full((qn, max(m, 1)), -1, dtype=np.int64)
+        scores, idx = scores[:, :m], idx[:, :m]
+        if m == 0 or qn == 0:
+            return scores, idx
+        tids, impact, doc_of = self._flat_postings()
+        if tids.size == 0:
+            return scores, idx
+        ids, qidx = batch_lookup(self.sealed.lookup_tokens, queries)
+        if ids.size == 0:
+            return scores, idx
+        lo = np.searchsorted(tids, ids, side="left")
+        hi = np.searchsorted(tids, ids, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return scores, idx
+        src = np.repeat(lo, cnt) + group_positions(cnt)
+        q_of = np.repeat(qidx, cnt)
+        d = doc_of[src]
+        imp = impact[src]
+        drop = np.asarray(self.deleted, dtype=bool)
+        if keep is not None:
+            drop = drop | ~np.asarray(keep, dtype=bool)
+        if drop.any():
+            sel = ~drop[d]
+            q_of, d, imp = q_of[sel], d[sel], imp[sel]
+            if q_of.size == 0:
+                return scores, idx
+        # Aggregate per (query, doc), then rank within query.
+        key = q_of * g + d
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=imp)
+        pos_ok = s > 0.0
+        uk, s = uk[pos_ok], s[pos_ok]
+        if uk.size == 0:
+            return scores, idx
+        uq, ud = uk // g, uk % g
+        order = np.lexsort((ud, -s, uq))
+        uq, ud, s = uq[order], ud[order], s[order]
+        counts = np.bincount(uq, minlength=qn)
+        pos = group_positions(counts[counts > 0])
+        take = pos < m
+        scores[uq[take], pos[take]] = s[take]
+        idx[uq[take], pos[take]] = ud[take]
+        return scores, idx
 
     def live_documents(self) -> List[Tuple[int, Document]]:
         """(payload, document) pairs of live docs, in insertion order

@@ -1412,25 +1412,24 @@ class ShardedIndex:
         # search.rs:83-135, but serves one query per backend).
         g = len(self.growing)
         if g:
-            qn = len(queries)
-            g_scores = self.growing.score_batch(queries)
             g_payloads = np.asarray(self.growing.payloads, dtype=np.int64)
             if filter_fn is not None:
                 from ..index.bm25index import _eval_predicate
 
                 keep = _eval_predicate(filter_fn, g_payloads)
-                g_scores[:, ~keep] = 0.0
-            g_base = self.n_docs
-            m = min(k, g)
-            if m < g:
-                top = np.argpartition(-g_scores, m - 1, axis=1)[:, :m]
             else:
-                top = np.broadcast_to(np.arange(g, dtype=np.int64), (qn, g))
-            g_top = np.take_along_axis(g_scores, top, axis=1)
-            g_top = np.where(g_top > 0.0, g_top, -np.inf)
+                keep = None
+            g_base = self.n_docs
+            # Growing top-k served from the device (no O(Q x G) host
+            # work — see GrowingSegment.device_engine).
+            g_top, top = self.growing.topk_batch_async(queries, k, keep)()
             all_s = np.concatenate([scores.astype(np.float64), g_top], axis=1)
-            all_g = np.concatenate([gids, g_base + top], axis=1)
-            all_p = np.concatenate([payloads, g_payloads[top]], axis=1)
+            all_g = np.concatenate(
+                [gids, np.where(top >= 0, g_base + top, -1)], axis=1
+            )
+            all_p = np.concatenate(
+                [payloads, g_payloads[np.maximum(top, 0)]], axis=1
+            )
             # Invalid sealed slots carry gid -1: push them after real ids
             # at equal (-inf) score by sorting on id with -1 mapped last.
             order_key = np.where(all_g < 0, np.iinfo(np.int64).max, all_g)
