@@ -51,7 +51,8 @@ def _jitted_stream_dense():
     import jax
 
     return jax.jit(
-        _stream_dense, static_argnames=("k", "n_docs", "dwidths", "twidths")
+        _stream_dense,
+        static_argnames=("k", "n_docs", "n_q", "dwidths", "twidths"),
     )
 
 
@@ -172,28 +173,39 @@ def _unpack_and_score(
 
 def _stream_dense(
     sd_words, st_words, doc_fn, s1_table,
-    win_doff, win_toff, win_base, win_meta, win_s0,
+    w_doff, w_toff, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
+    wsrc,  # [T] int32 window ids (pad = W: the zero-length pad window)
+    wq,  # [T] int32 query index per window (pad -> 0: scores are 0)
     filter_mask,  # [N+1] float32 (1 keep)
     k: int,
     n_docs: int,
+    n_q: int,
     dwidths=(2, 4, 8, 16),
     twidths=(2, 4, 8, 16),
 ):
-    import jax
+    """Flat dense reduction: every window of the whole sub-batch rides
+    one [T, 128] decompress + one scatter-add into the [n_q, N+1]
+    accumulator — no per-query padding, and the only per-dispatch host
+    transfer is (wsrc, wq): 8 B per window.  Per-window metadata is
+    gathered from the device-resident tables (the SummaryTuple-array
+    analog, tuples.rs:900-971)."""
     import jax.numpy as jnp
 
     doc, sc = _unpack_and_score(
         sd_words, st_words, doc_fn, s1_table,
-        win_doff, win_toff, win_base, win_meta, win_s0, n_docs,
+        w_doff[wsrc][:, None], w_toff[wsrc][:, None],
+        w_base[wsrc][:, None], w_meta[wsrc][:, None],
+        w_s0[wsrc][:, None], n_docs,
         dwidths, twidths,
-    )
-
-    def accumulate(docs_q, scores_q):
-        acc = jnp.zeros(n_docs + 1, dtype=jnp.float32)
-        return acc.at[docs_q.reshape(-1)].add(scores_q.reshape(-1))
-
-    acc = jax.vmap(accumulate)(doc, sc)  # [Q, N+1]
-    acc = acc * filter_mask[None, :]
+    )  # [T, 1, 128]
+    t = wsrc.shape[0]
+    # Flat int32 scatter (callers guarantee n_q*(n_docs+1) < 2^31):
+    # dead/pad lanes carry doc = n_docs and score 0, landing harmlessly
+    # in their query's pad column.
+    idx = wq[:, None] * jnp.int32(n_docs + 1) + doc.reshape(t, 128)
+    acc = jnp.zeros(n_q * (n_docs + 1), dtype=jnp.float32)
+    acc = acc.at[idx.reshape(-1)].add(sc.reshape(-1))
+    acc = acc.reshape(n_q, n_docs + 1) * filter_mask[None, :]
     from ..ops.topk import dense_topk
 
     return dense_topk(acc, k, n_docs)
@@ -201,7 +213,8 @@ def _stream_dense(
 
 def _stream_sparse(
     sd_words, st_words, doc_fn, s1_table,
-    win_doff, win_toff, win_base, win_meta, win_s0,
+    w_doff, w_toff, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
+    wsrc,  # [Q, P] int32 window ids (pad = W)
     filter_mask,
     k: int,
     n_docs: int,
@@ -217,7 +230,8 @@ def _stream_sparse(
 
     doc, sc = _unpack_and_score(
         sd_words, st_words, doc_fn, s1_table,
-        win_doff, win_toff, win_base, win_meta, win_s0, n_docs,
+        w_doff[wsrc], w_toff[wsrc], w_base[wsrc], w_meta[wsrc],
+        w_s0[wsrc], n_docs,
         dwidths, twidths,
     )
     sc = sc * filter_mask[doc]
@@ -299,6 +313,19 @@ class StreamEngine:
         # Pad window: the zero tail (len 0, offsets in-range).
         self._pad_doff = np.int32(si.doc_words.size - 32)
         self._pad_toff = np.int32(si.tf_words.size - 32)
+        # Per-window metadata lives in HBM (the SummaryTuple-array
+        # analog); dispatches ship only window ids.  Entry W is the pad
+        # window: length 0, in-range offsets.
+        self._pad_win = np.int32(si.n_windows)
+        self.dev_w_doff = put(
+            np.append(si.w_doff4, self._pad_doff).astype(np.int32)
+        )
+        self.dev_w_toff = put(
+            np.append(si.w_toff4, self._pad_toff).astype(np.int32)
+        )
+        self.dev_w_base = put(np.append(si.w_base, 0).astype(np.int32))
+        self.dev_w_meta = put(np.append(si.w_meta, 0).astype(np.int32))
+        self.dev_w_s0 = put(np.append(si.w_s0, 0.0).astype(np.float32))
         self.n_docs = si.n_docs
 
     def set_deleted(self, deleted: np.ndarray) -> None:
@@ -319,12 +346,28 @@ class StreamEngine:
     def memory_report(self) -> dict:
         """Device-resident index bytes (equal-index-memory metric)."""
         db = self.stream.device_bytes()
+        wmeta = sum(
+            int(t.nbytes)
+            for t in (
+                self.dev_w_doff,
+                self.dev_w_toff,
+                self.dev_w_base,
+                self.dev_w_meta,
+                self.dev_w_s0,
+            )
+        )
+        total = db["total"] + wmeta
         return {
             "postings": db["postings"],
             "doc_tables": db["doc_tables"],
             "s1_table": db["s1_table"],
-            "total": db["total"],
-            "bytes_per_posting": db["bytes_per_posting"],
+            # 20 B per window: the reference's SummaryTuple costs 24 B
+            # per 128-posting block (tuples.rs:900-971) and is counted
+            # on its side of the parity report too.
+            "window_meta": wmeta,
+            "total": total,
+            "bytes_per_posting": (db["postings"] + wmeta)
+            / max(1, self.stream.n_postings),
         }
 
     def _win_lists(self, queries: Sequence[Query]):
@@ -355,29 +398,22 @@ class StreamEngine:
         return (wsrc, starts, sizes), n_terms
 
     def _assemble(self, lists, sub: np.ndarray):
-        """Pad the subset's window lists to bucketed [q, P] matrices."""
+        """Pad the subset's window-id lists to a bucketed [q, P] matrix
+        (sparse path; metadata is gathered device-side)."""
         wsrc, starts, sizes = lists
-        si = self.stream
         sub = np.asarray(sub, dtype=np.int64)
         sub_sizes = sizes[sub]
         q = sub.size
         p_max = _bucket(int(sub_sizes.max(initial=1)) or 1, 8)
-        doff = np.full((q, p_max), self._pad_doff, dtype=np.int32)
-        toff = np.full((q, p_max), self._pad_toff, dtype=np.int32)
-        base = np.zeros((q, p_max), dtype=np.int32)
-        meta = np.zeros((q, p_max), dtype=np.int32)
-        s0 = np.zeros((q, p_max), dtype=np.float32)
+        ids = np.full((q, p_max), self._pad_win, dtype=np.int32)
         total = int(sub_sizes.sum())
+        src = None
         if total:
             pos = group_positions(sub_sizes)
             src = wsrc[np.repeat(starts[sub], sub_sizes) + pos]
             dst_q = np.repeat(np.arange(q, dtype=np.int64), sub_sizes)
-            doff[dst_q, pos] = si.w_doff4[src]
-            toff[dst_q, pos] = si.w_toff4[src]
-            base[dst_q, pos] = si.w_base[src]
-            meta[dst_q, pos] = si.w_meta[src]
-            s0[dst_q, pos] = si.w_s0[src]
-        return doff, toff, base, meta, s0
+            ids[dst_q, pos] = src
+        return ids, src
 
     def search_async(
         self,
@@ -409,59 +445,109 @@ class StreamEngine:
         kk = min(_bucket(k, 1), max(n_docs, 1))
 
         lists, n_terms = self._win_lists(queries)
-        sizes = lists[2]
+        wsrc_all, starts, sizes = lists
+        si = self.stream
 
-        bucket_of = np.zeros(qn, dtype=np.int64)
-        waste = qn * int(sizes.max(initial=0)) - int(sizes.sum())
-        if waste > 65536:
-            b = 32
-            while np.any(sizes > b):
-                bucket_of[sizes > b] += 1
-                b *= 4
-
-        if use_sparse:
-            q_cap = 1 << 30
-        else:
-            q_cap = max(1, self.accumulator_budget // (4 * (n_docs + 1)))
-
+        tables = (
+            self.dev_w_doff,
+            self.dev_w_toff,
+            self.dev_w_base,
+            self.dev_w_meta,
+            self.dev_w_s0,
+        )
         pending = []
-        for bu in np.unique(bucket_of):
-            bidx = np.flatnonzero(bucket_of == bu)
-            p_bucket = max(1, _bucket(int(sizes[bidx].max(initial=1)), 8))
-            lane_cap = max(1, (1 << 26) // (p_bucket * 128))
-            step = max(1, min(q_cap, lane_cap))
-            for i0 in range(0, bidx.size, step):
-                sub = bidx[i0 : i0 + step]
-                doff, toff, base, meta, s0 = self._assemble(lists, sub)
-                args = (
+        if not use_sparse:
+            # Flat dense dispatch: contiguous query chunks bounded by the
+            # accumulator budget and a window-lane cap; per-dispatch host
+            # transfer is 8 B per window (ids only).
+            q_cap = max(1, self.accumulator_budget // (4 * (n_docs + 1)))
+            while q_cap * (n_docs + 1) >= 1 << 31:  # int32 flat scatter
+                q_cap //= 2
+            t_cap = 1 << 19  # 67M decompressed lanes per dispatch
+            q0 = 0
+            while q0 < qn:
+                q1 = min(qn, q0 + q_cap)
+                if starts[q1] - starts[q0] > t_cap:
+                    q1 = int(
+                        np.searchsorted(
+                            starts, starts[q0] + t_cap, side="right"
+                        )
+                        - 1
+                    )
+                    q1 = max(q1, q0 + 1)
+                t0, t1 = int(starts[q0]), int(starts[q1])
+                ws = wsrc_all[t0:t1]
+                t = t1 - t0
+                tb = _bucket(max(t, 1), 128)
+                wsrc = np.full(tb, self._pad_win, dtype=np.int32)
+                wsrc[:t] = ws
+                wq = np.zeros(tb, dtype=np.int32)
+                if t:
+                    wq[:t] = np.repeat(
+                        np.arange(q1 - q0, dtype=np.int32),
+                        sizes[q0:q1],
+                    )
+                n_qb = _bucket(q1 - q0, 8)
+                dw, tw = _active_widths(
+                    si.w_meta[ws] if t else np.zeros(1, dtype=np.int32)
+                )
+                out = _jitted_stream_dense()(
                     self.dev_doc_words,
                     self.dev_tf_words,
                     self.dev_doc_fn,
                     self.dev_s1,
-                    jnp.asarray(doff),
-                    jnp.asarray(toff),
-                    jnp.asarray(base),
-                    jnp.asarray(meta),
-                    jnp.asarray(s0),
+                    *tables,
+                    jnp.asarray(wsrc),
+                    jnp.asarray(wq),
                     fm_dev,
+                    k=kk,
+                    n_docs=n_docs,
+                    n_q=n_qb,
+                    dwidths=dw,
+                    twidths=tw,
                 )
-                dw, tw = _active_widths(meta)
-                if use_sparse:
+                _throttle_large(out, tb * 128 * 8)
+                pending.append((np.arange(q0, q1), out))
+                q0 = q1
+        else:
+            bucket_of = np.zeros(qn, dtype=np.int64)
+            waste = qn * int(sizes.max(initial=0)) - int(sizes.sum())
+            if waste > 65536:
+                b = 32
+                while np.any(sizes > b):
+                    bucket_of[sizes > b] += 1
+                    b *= 4
+            for bu in np.unique(bucket_of):
+                bidx = np.flatnonzero(bucket_of == bu)
+                p_bucket = max(
+                    1, _bucket(int(sizes[bidx].max(initial=1)), 8)
+                )
+                lane_cap = max(1, (1 << 26) // (p_bucket * 128))
+                for i0 in range(0, bidx.size, lane_cap):
+                    sub = bidx[i0 : i0 + lane_cap]
+                    ids, src = self._assemble(lists, sub)
+                    dw, tw = _active_widths(
+                        si.w_meta[src]
+                        if src is not None
+                        else np.zeros(1, dtype=np.int32)
+                    )
                     mt = int(max(1, n_terms[sub].max(initial=1)))
                     out = _jitted_stream_sparse()(
-                        *args,
+                        self.dev_doc_words,
+                        self.dev_tf_words,
+                        self.dev_doc_fn,
+                        self.dev_s1,
+                        *tables,
+                        jnp.asarray(ids),
+                        fm_dev,
                         k=kk,
                         n_docs=n_docs,
                         seg_steps=int(mt - 1).bit_length(),
                         dwidths=dw,
                         twidths=tw,
                     )
-                else:
-                    out = _jitted_stream_dense()(
-                        *args, k=kk, n_docs=n_docs, dwidths=dw, twidths=tw
-                    )
-                _throttle_large(out, sub.size * p_bucket * 128 * 8)
-                pending.append((sub, out))
+                    _throttle_large(out, sub.size * p_bucket * 128 * 8)
+                    pending.append((sub, out))
 
         payload_arr = np.asarray(self.segment.doc_payload)
 
@@ -470,8 +556,9 @@ class StreamEngine:
             ids = np.full((qn, k), -1, dtype=np.int64)
             payloads = np.full((qn, k), -1, dtype=np.int64)
             for sub, (s_dev, i_dev) in pending:
-                s = np.asarray(s_dev)[:, :k]
-                i = np.asarray(i_dev, dtype=np.int64)[:, :k]
+                # Dense rows are pow2-bucketed; drop the padding rows.
+                s = np.asarray(s_dev)[: sub.size, :k]
+                i = np.asarray(i_dev, dtype=np.int64)[: sub.size, :k]
                 if s.shape[1] < k:
                     pad = k - s.shape[1]
                     s = np.pad(
