@@ -104,7 +104,7 @@ class TestShardedIndex:
         seed = random_seed()
         docs = documents_from_texts(seed, TOY_CORPUS)
         q = Query.from_tokens(seed, tsvector("PostgreSQL").keys())
-        for engine in ("exact", "blockmax"):
+        for engine in ("exact", "blockmax", "stream"):
             sharded = ShardedIndex.build(
                 docs, 8, payloads=np.arange(1, 11), mesh=mesh8, engine=engine
             )
@@ -122,7 +122,7 @@ class TestShardedIndex:
             for _ in range(4)
         ]
         e_scores, e_ids, _ = single.search(queries, 10)
-        for engine in ("exact", "blockmax"):
+        for engine in ("exact", "blockmax", "stream"):
             sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine=engine)
             s_scores, s_ids, _ = sharded.search(queries, 10)
             for qi in range(len(queries)):
@@ -136,7 +136,7 @@ class TestShardedIndex:
 
     def test_set_deleted(self, rng, mesh8):
         docs = make_docs(rng, 80, vocab=6)
-        for engine in ("exact", "blockmax"):
+        for engine in ("exact", "blockmax", "stream"):
             sharded = ShardedIndex.build(docs, 8, mesh=mesh8, engine=engine)
             deleted = np.zeros(80, dtype=bool)
             deleted[:40] = True
@@ -178,6 +178,52 @@ class TestShardedIndex:
             np.testing.assert_allclose(
                 s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
                 rtol=1e-5,
+            )
+
+    def test_stream_engine_mutations_and_memory(self, rng, mesh8):
+        # The equal-index-memory sharded engine: full mutation surface
+        # (insert into growing, bulkdelete, maintain) + the stream's
+        # posting/meta bytes appear in memory_report.
+        from vectorchord_bm25_tpu.search.exact import oracle_topk
+
+        docs = make_docs(rng, 400, vocab=40)
+        sharded = ShardedIndex.build(
+            docs,
+            8,
+            payloads=np.arange(400),
+            mesh=mesh8,
+            engine="stream",
+        )
+        queries = [
+            Query.from_int_ids(rng.integers(0, 40, size=3).tolist())
+            for _ in range(6)
+        ]
+        single = ExactEngine(build_sealed_segment(docs))
+        e_scores, e_ids, _ = single.search(queries, 10)
+        s_scores, s_ids, _ = sharded.search(queries, 10)
+        for qi in range(len(queries)):
+            got = s_ids[qi][s_ids[qi] >= 0]
+            expect = e_ids[qi][e_ids[qi] >= 0]
+            assert len(got) == len(expect), qi
+            rank_match(
+                got, expect,
+                s_scores[qi][: len(got)], e_scores[qi][: len(expect)],
+            )
+        mr = sharded.memory_report()
+        assert mr["postings"] > 0 and mr["range_meta"] > 0
+        # Growing insert is visible; delete drops it; maintain reseals.
+        sharded.insert(docs[0], payload=9999)
+        q_self = [Query(keys=docs[0].keys[:3])]
+        _, _, p = sharded.search(q_self, 410)
+        assert 9999 in p[0].tolist()
+        sharded.bulkdelete(lambda pl: pl == 9999)
+        _, _, p = sharded.search(q_self, 410)
+        assert 9999 not in p[0].tolist()
+        sharded.maintain()
+        s2, i2, _ = sharded.search(queries, 10)
+        for qi in range(len(queries)):
+            np.testing.assert_array_equal(
+                i2[qi][i2[qi] >= 0], s_ids[qi][s_ids[qi] >= 0]
             )
 
     def test_uniform_range_size_across_shards(self, rng, mesh8, monkeypatch):

@@ -134,7 +134,7 @@ class ShardedIndex:
         posting_mode: str = "impact",
         memory_mode: str = "fast",
     ):
-        if engine not in ("exact", "blockmax", "hybrid"):
+        if engine not in ("exact", "blockmax", "hybrid", "stream"):
             raise ValueError(f"unknown engine {engine!r}")
         if memory_mode not in ("fast", "compact"):
             raise ValueError(f"unknown memory_mode {memory_mode!r}")
@@ -222,6 +222,8 @@ class ShardedIndex:
         self._upload()
         if self.engine in ("blockmax", "hybrid"):
             self._upload_blockmax()
+        elif self.engine == "stream":
+            self._upload_stream()
 
     def lookup_tokens(self, keys: np.ndarray) -> np.ndarray:
         """Global token ids for 16-byte keys; missing -> -1."""
@@ -692,6 +694,237 @@ class ShardedIndex:
         return -self.evaluate(document, query)
 
     # ------------------------------------------------------------------
+    def _upload_stream(self):
+        """Stack per-shard delta-compressed posting streams (padded) with
+        a leading mesh dimension — the equal-index-memory serving layout
+        (index/stream.py) over the doc-sharded mesh.  Global statistics
+        are baked into per-shard s0/impact bounds so sharded scores match
+        the single-segment stream bit-for-bit."""
+        from ..index.stream import _DELETED_BIT, build_stream_index
+
+        streams = []
+        for view in self.views:
+            s = view.segment
+            gid = np.searchsorted(self.token_keys, s.token_keys)
+            streams.append(
+                build_stream_index(
+                    s,
+                    global_stats=(
+                        self.n_docs,
+                        self.sum_dl,
+                        self.token_s0[gid],
+                    ),
+                )
+            )
+        self._streams = streams
+        d = self.n_shards
+        nmax = self._nmax
+        sdmax = max(st.doc_words.size for st in streams)
+        stmax = max(st.tf_words.size for st in streams)
+        wmax = max(st.n_windows for st in streams)
+        self._swmax = wmax  # pad window id (per shard: its zero tail)
+
+        doc_words = np.zeros((d, sdmax), dtype=np.uint32)
+        tf_words = np.zeros((d, stmax), dtype=np.uint32)
+        w_doff = np.zeros((d, wmax + 1), dtype=np.int32)
+        w_toff = np.zeros((d, wmax + 1), dtype=np.int32)
+        w_base = np.zeros((d, wmax + 1), dtype=np.int32)
+        w_meta = np.zeros((d, wmax + 1), dtype=np.int32)
+        w_s0 = np.zeros((d, wmax + 1), dtype=np.float32)
+        # Pad slots (>= local n_docs) carry the deleted bit so padding
+        # and cross-shard tails score 0 without a live-mask gather.
+        doc_fn = np.full((d, nmax + 1), _DELETED_BIT, dtype=np.uint16)
+        for i, st in enumerate(streams):
+            doc_words[i, : st.doc_words.size] = st.doc_words
+            tf_words[i, : st.tf_words.size] = st.tf_words
+            w = st.n_windows
+            w_doff[i, :w] = st.w_doff4
+            w_toff[i, :w] = st.w_toff4
+            w_base[i, :w] = st.w_base
+            w_meta[i, :w] = st.w_meta
+            w_s0[i, :w] = st.w_s0
+            # Pad windows: zero length, offsets at the shard's zero tail.
+            w_doff[i, w:] = st.doc_words.size - 32
+            w_toff[i, w:] = st.tf_words.size - 32
+            doc_fn[i, : st.n_docs] = st.doc_fn[: st.n_docs]
+
+        sp = self._shard_put
+        self.dev_st_doc_words = sp(doc_words)
+        self.dev_st_tf_words = sp(tf_words)
+        self.dev_st_w_doff = sp(w_doff)
+        self.dev_st_w_toff = sp(w_toff)
+        self.dev_st_w_base = sp(w_base)
+        self.dev_st_w_meta = sp(w_meta)
+        self.dev_st_w_s0 = sp(w_s0)
+        self.dev_st_doc_fn = sp(doc_fn)
+
+    def _build_stream_fn(self, k: int, n_q: int, dw, tw):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..search.stream import _unpack_and_score
+
+        axis = self.axis
+        nmax = self._nmax
+
+        def local_and_merge(
+            doc_words, tf_words, doc_fn,  # [1, ...]
+            w_doff, w_toff, w_base, w_meta, w_s0,  # [1, Wm+1]
+            doc_live, fmask, doc_offset,  # [1, ...]
+            wsrc_s, wq_s,  # [1, T]
+            s1,  # [256] replicated
+        ):
+            wsrc, wq = wsrc_s[0], wq_s[0]
+            doc, sc = _unpack_and_score(
+                doc_words[0], tf_words[0], doc_fn[0], s1,
+                w_doff[0][wsrc][:, None], w_toff[0][wsrc][:, None],
+                w_base[0][wsrc][:, None], w_meta[0][wsrc][:, None],
+                w_s0[0][wsrc][:, None], nmax,
+                dw, tw,
+            )  # [T, 1, 128]
+            t = wsrc.shape[0]
+            idx = wq[:, None] * jnp.int32(nmax + 1) + doc.reshape(t, 128)
+            acc = jnp.zeros(n_q * (nmax + 1), dtype=jnp.float32)
+            acc = acc.at[idx.reshape(-1)].add(sc.reshape(-1))
+            acc = acc.reshape(n_q, nmax + 1) * (
+                doc_live[0] * fmask[0]
+            )[None, :]
+            if k > nmax:
+                masked = jnp.where(
+                    acc[:, :nmax] > 0.0, acc[:, :nmax], -jnp.inf
+                )
+                masked = jnp.pad(
+                    masked, ((0, 0), (0, k - nmax)),
+                    constant_values=-jnp.inf,
+                )
+                l_scores, l_ids = jax.lax.top_k(masked, k)
+            else:
+                from ..ops.topk import dense_topk
+
+                l_scores, l_ids = dense_topk(acc, k, nmax)
+            g_ids = jnp.where(
+                jnp.isfinite(l_scores),
+                l_ids.astype(jnp.int32) + doc_offset[0, 0],
+                _INT_MAX,
+            )
+            a_scores = jax.lax.all_gather(l_scores, axis)
+            a_ids = jax.lax.all_gather(g_ids, axis)
+            dd = a_scores.shape[0]
+            c_scores = jnp.moveaxis(a_scores, 0, 1).reshape(-1, dd * k)
+            c_ids = jnp.moveaxis(a_ids, 0, 1).reshape(-1, dd * k)
+            neg, gid_s = jax.lax.sort((-c_scores, c_ids), num_keys=2)
+            return -neg[:, :k], gid_s[:, :k]
+
+        fn = shard_map(
+            local_and_merge,
+            mesh=self.mesh,
+            in_specs=tuple(P(axis) for _ in range(13)) + (P(),),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _prepare_stream(self, queries: Sequence[Query]):
+        """Per-shard flat window-id lists for a replicated query batch:
+        (wsrc, q_of) per shard, query-ascending."""
+        from ..utils.batchkeys import batch_lookup, group_positions
+
+        g_all, q_all = batch_lookup(self.lookup_tokens, queries)
+        per_shard = []
+        for view, stm in zip(self.views, self._streams):
+            lids = view.local_tid[g_all] if g_all.size else g_all
+            ok = lids >= 0
+            lt, qt = lids[ok], q_all[ok]
+            tws = stm.token_w_start
+            if lt.size:
+                los = tws[lt]
+                cnt = tws[lt + 1] - los
+                wsrc = (np.repeat(los, cnt) + group_positions(cnt)).astype(
+                    np.int64
+                )
+                q_of = np.repeat(qt, cnt)
+            else:
+                wsrc = np.zeros(0, dtype=np.int64)
+                q_of = np.zeros(0, dtype=np.int64)
+            per_shard.append((wsrc, q_of))
+        return per_shard
+
+    def _search_stream(self, queries: Sequence[Query], k: int, fmask_dev):
+        """Equal-index-memory sharded search: flat per-shard window
+        dispatch (search/stream.py's dense path) + all_gather merge."""
+        import jax.numpy as jnp
+
+        qn = len(queries)
+        per_shard = self._prepare_stream(queries)
+        kk = _bucket(k, 1)
+        d = self.n_shards
+
+        # Sub-batch queries so each shard's [q, nmax+1] accumulator
+        # stays under the budget (and int32 flat-scatter addressing).
+        q_cap = max(1, (1 << 30) // (4 * (self._nmax + 1)))
+        while q_cap * (self._nmax + 1) >= 1 << 31:
+            q_cap //= 2
+        scores = np.full((qn, kk), -np.inf, dtype=np.float32)
+        gids = np.full((qn, kk), np.iinfo(np.int32).max, dtype=np.int64)
+        starts = [
+            np.searchsorted(q_of, np.arange(qn + 1))
+            for _, q_of in per_shard
+        ]
+        for q0 in range(0, qn, q_cap):
+            q1 = min(qn, q0 + q_cap)
+            nq = q1 - q0
+            n_qb = _bucket(nq, 8)
+            t_needed = max(
+                max(
+                    int(st[q1] - st[q0]) for st in starts
+                ),
+                1,
+            )
+            tb = _bucket(t_needed, 128)
+            wsrc = np.full((d, tb), self._swmax, dtype=np.int32)
+            wq = np.zeros((d, tb), dtype=np.int32)
+            metas = []
+            for si, ((ws, q_of), st) in enumerate(zip(per_shard, starts)):
+                lo, hi = int(st[q0]), int(st[q1])
+                n = hi - lo
+                if n:
+                    wsrc[si, :n] = ws[lo:hi]
+                    wq[si, :n] = q_of[lo:hi] - q0
+                    metas.append(self._streams[si].w_meta[ws[lo:hi]])
+            from ..search.stream import _active_widths
+
+            dw, tw = _active_widths(
+                np.concatenate(metas)
+                if metas
+                else np.zeros(1, dtype=np.int32)
+            )
+            fn = self._cached_fn(
+                ("stream", kk, n_qb, dw, tw),
+                lambda: self._build_stream_fn(kk, n_qb, dw, tw),
+            )
+            s, i = fn(
+                self.dev_st_doc_words,
+                self.dev_st_tf_words,
+                self.dev_st_doc_fn,
+                self.dev_st_w_doff,
+                self.dev_st_w_toff,
+                self.dev_st_w_base,
+                self.dev_st_w_meta,
+                self.dev_st_w_s0,
+                self.dev_doc_live,
+                fmask_dev,
+                self.dev_doc_offsets,
+                self._shard_put(wsrc),
+                self._shard_put(wq),
+                self.dev_s1,
+            )
+            scores[q0:q1] = np.asarray(s)[:nq, :kk]
+            gids[q0:q1] = np.asarray(i)[:nq, :kk]
+        return scores[:, :k], gids[:, :k]
+
+    # ------------------------------------------------------------------
     def _upload_blockmax(self):
         """Stack per-shard range indexes (padded) for the pruned engine."""
         import numpy as np
@@ -830,6 +1063,22 @@ class ShardedIndex:
                 np.asarray(self.dev_post_docid).nbytes
                 + np.asarray(self.dev_post_impact).nbytes
             )
+        if self.engine == "stream":
+            postings += int(
+                np.asarray(self.dev_st_doc_words).nbytes
+                + np.asarray(self.dev_st_tf_words).nbytes
+            )
+            meta += sum(
+                int(np.asarray(t).nbytes)
+                for t in (
+                    self.dev_st_w_doff,
+                    self.dev_st_w_toff,
+                    self.dev_st_w_base,
+                    self.dev_st_w_meta,
+                    self.dev_st_w_s0,
+                )
+            )
+            doc_tables += int(np.asarray(self.dev_st_doc_fn).nbytes)
         n_post = max(
             1, sum(int(v.segment.block_n.sum()) for v in self.views)
         )
@@ -1283,6 +1532,8 @@ class ShardedIndex:
 
         if self.engine == "blockmax":
             return self._search_blockmax(queries, k, fmask_dev)
+        if self.engine == "stream":
+            return self._search_stream(queries, k, fmask_dev)
         if self.engine == "exact":
             return self._search_dense(queries, k, fmask_dev)
         # Hybrid: route per query, dispatch each group, reassemble.
