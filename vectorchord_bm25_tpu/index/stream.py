@@ -19,6 +19,9 @@ Each term's (doc-ascending) postings are cut into WINDOWS of at most
   {2, 4, 8, 16} (chosen from the window's largest delta); every window's
   doc data fits 32 u32 words (128 B), so 16-bit windows hold at most
   64 postings — the kernels always gather exactly 32 words per window;
+  the window's tf words follow its doc words in the same stream, so a
+  single per-window offset (plus the meta-derived doc word count)
+  addresses both sides;
 - the window's first doc id is kept as an uncompressed 32-bit base
   (lane 0's stored delta is 0 and never read), so windows are
   independently decodable — the SummaryTuple-style re-anchoring that
@@ -77,9 +80,11 @@ class StreamIndex:
     n_postings: int
     tf_width: int  # corpus-level max tf storage class: 1 or 2 bytes
 
-    # Bit streams (u32-word aligned; 32 words of zero tail padding).
-    doc_words: np.ndarray  # [Sd] uint32
-    tf_words: np.ndarray  # [St] uint32
+    # One interleaved bit stream (u32-word aligned; 64 words of zero
+    # tail padding): per window, the doc-delta words immediately
+    # followed by the tf words — the tf offset is derived from the
+    # window's meta (len, dbits), so windows carry ONE offset.
+    words: np.ndarray  # [S] uint32
 
     # Per-window metadata ([W] entries, term-major, doc-ascending).
     w_token: np.ndarray  # [W] int32
@@ -87,8 +92,7 @@ class StreamIndex:
     w_len: np.ndarray  # [W] int32 (1..=128; <=64 when dbits/tfbits=16)
     w_dbits: np.ndarray  # [W] uint8 in {2, 4, 8, 16}
     w_tfbits: np.ndarray  # [W] uint8 in {0, 2, 4, 8, 16}
-    w_doff4: np.ndarray  # [W] int32 word offset into doc_words
-    w_toff4: np.ndarray  # [W] int32 word offset into tf_words
+    w_off4: np.ndarray  # [W] int32 word offset into words
     w_s0: np.ndarray  # [W] float32 term s0 = idf*(k1+1)
     w_maximp: np.ndarray  # [W] float32 max posting impact (MaxScore bound)
 
@@ -120,11 +124,27 @@ class StreamIndex:
     def n_windows(self) -> int:
         return int(self.w_len.size)
 
+    def w_meta16(self) -> np.ndarray:
+        """Device meta: len(8) | log2(dbits)-1 (2) | tf class (3) packed
+        u16 — half the i32 host form (w_meta keeps raw widths for
+        dispatch-time specialization)."""
+        dclass = np.log2(self.w_dbits.astype(np.int64)).astype(
+            np.int64
+        ) - 1  # 2,4,8,16 -> 0..3
+        tfb = self.w_tfbits.astype(np.int64)
+        tclass = np.where(tfb == 0, 0, np.log2(np.maximum(tfb, 2)).astype(np.int64))
+        # tfbits 0,2,4,8,16 -> class 0,1,2,3,4
+        return (
+            self.w_len.astype(np.int64)
+            | (dclass << 8)
+            | (tclass << 10)
+        ).astype(np.uint16)
+
     def device_bytes(self) -> dict:
         """What the engine keeps resident in HBM (equal-index-memory
         accounting; host copies of the same arrays are build/mutation
         state, mirroring the reference's on-disk segment)."""
-        postings = self.doc_words.nbytes + self.tf_words.nbytes
+        postings = self.words.nbytes
         doc_tables = self.doc_fn.nbytes
         return {
             "postings": postings,
@@ -138,18 +158,17 @@ class StreamIndex:
         """Host reference decoder (tests / lookups): (docs, tfs) of
         window w — must round-trip the sealed segment's postings."""
         ln = int(self.w_len[w])
-        deltas = _extract_bits(
-            self.doc_words, int(self.w_doff4[w]), ln, int(self.w_dbits[w])
-        )
+        dbits = int(self.w_dbits[w])
+        off = int(self.w_off4[w])
+        deltas = _extract_bits(self.words, off, ln, dbits)
         deltas[0] = 0
         docs = int(self.w_base[w]) + np.cumsum(deltas)
         tfbits = int(self.w_tfbits[w])
         if tfbits == 0:
             tfs = np.ones(ln, dtype=np.int64)
         else:
-            tfs = _extract_bits(
-                self.tf_words, int(self.w_toff4[w]), ln, tfbits
-            )
+            toff = off + ((ln * dbits + 31) >> 5)
+            tfs = _extract_bits(self.words, toff, ln, tfbits)
         return docs, tfs
 
 
@@ -209,15 +228,13 @@ def build_stream_index(
             n_tokens=v,
             n_postings=0,
             tf_width=1,
-            doc_words=np.zeros(32, dtype=np.uint32),
-            tf_words=np.zeros(32, dtype=np.uint32),
+            words=np.zeros(64, dtype=np.uint32),
             w_token=np.zeros(0, dtype=np.int32),
             w_base=np.zeros(0, dtype=np.int32),
             w_len=np.zeros(0, dtype=np.int32),
             w_dbits=np.zeros(0, dtype=np.uint8),
             w_tfbits=np.zeros(0, dtype=np.uint8),
-            w_doff4=np.zeros(0, dtype=np.int32),
-            w_toff4=np.zeros(0, dtype=np.int32),
+            w_off4=np.zeros(0, dtype=np.int32),
             w_s0=np.zeros(0, dtype=np.float32),
             w_maximp=np.zeros(0, dtype=np.float32),
             token_w_start=np.zeros(v + 1, dtype=np.int64),
@@ -325,23 +342,22 @@ def build_stream_index(
     assert int((w_len * w_dbits).max()) <= 1024
     assert int((w_len * w_tfbits).max()) <= 1024
 
-    # Word layout (each window starts word-aligned).
+    # Word layout: one interleaved stream, each window's doc words
+    # immediately followed by its tf words (both word-aligned), so one
+    # offset addresses both — the tf offset is doc_off + ceil(len*dbits/32).
     doc_words_per_w = (w_len * w_dbits + 31) >> 5
     tf_words_per_w = (w_len * w_tfbits + 31) >> 5
-    w_doff4 = np.zeros(n_win, dtype=np.int64)
-    np.cumsum(doc_words_per_w[:-1], out=w_doff4[1:])
-    w_toff4 = np.zeros(n_win, dtype=np.int64)
-    np.cumsum(tf_words_per_w[:-1], out=w_toff4[1:])
-    sd_words = int(doc_words_per_w.sum()) + 32
-    st_words = int(tf_words_per_w.sum()) + 32
-    if 4 * sd_words >= 2**31 or 4 * st_words >= 2**31:
+    words_per_w = doc_words_per_w + tf_words_per_w
+    w_off4 = np.zeros(n_win, dtype=np.int64)
+    np.cumsum(words_per_w[:-1], out=w_off4[1:])
+    s_words = int(words_per_w.sum()) + 64
+    if 4 * s_words >= 2**31:
         raise ValueError(
             "stream exceeds int32 byte addressing (2 GiB); shard the "
             "corpus across devices"
         )
 
-    doc_words = np.zeros(sd_words, dtype=np.uint32)
-    tf_words = np.zeros(st_words, dtype=np.uint32)
+    words = np.zeros(s_words, dtype=np.uint32)
 
     # Bit-pack both streams: value v of lane l lands in word
     # off4 + (l*bits)>>5 shifted by (l*bits)&31; widths divide 32, so
@@ -349,8 +365,8 @@ def build_stream_index(
     # (bitwise-or == add).
     dbitpos = lane * w_dbits[win_of]
     np.add.at(
-        doc_words,
-        w_doff4[win_of] + (dbitpos >> 5),
+        words,
+        w_off4[win_of] + (dbitpos >> 5),
         (
             (d_store.astype(np.uint64) << (dbitpos & 31).astype(np.uint64))
             & np.uint64(0xFFFFFFFF)
@@ -359,8 +375,8 @@ def build_stream_index(
     t_sel = w_tfbits[win_of] > 0
     tbitpos = lane[t_sel] * w_tfbits[win_of][t_sel]
     np.add.at(
-        tf_words,
-        w_toff4[win_of][t_sel] + (tbitpos >> 5),
+        words,
+        (w_off4 + doc_words_per_w)[win_of][t_sel] + (tbitpos >> 5),
         (
             (
                 tf64[t_sel].astype(np.uint64)
@@ -405,15 +421,13 @@ def build_stream_index(
         n_tokens=v,
         n_postings=p,
         tf_width=tf_width,
-        doc_words=doc_words,
-        tf_words=tf_words,
+        words=words,
         w_token=w_token,
         w_base=w_base,
         w_len=w_len.astype(np.int32),
         w_dbits=w_dbits.astype(np.uint8),
         w_tfbits=w_tfbits.astype(np.uint8),
-        w_doff4=w_doff4.astype(np.int32),
-        w_toff4=w_toff4.astype(np.int32),
+        w_off4=w_off4.astype(np.int32),
         w_s0=w_s0,
         w_maximp=w_maximp,
         token_w_start=token_w_start,

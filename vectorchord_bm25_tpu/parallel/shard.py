@@ -719,40 +719,32 @@ class ShardedIndex:
         self._streams = streams
         d = self.n_shards
         nmax = self._nmax
-        sdmax = max(st.doc_words.size for st in streams)
-        stmax = max(st.tf_words.size for st in streams)
+        smax = max(st.words.size for st in streams)
         wmax = max(st.n_windows for st in streams)
         self._swmax = wmax  # pad window id (per shard: its zero tail)
 
-        doc_words = np.zeros((d, sdmax), dtype=np.uint32)
-        tf_words = np.zeros((d, stmax), dtype=np.uint32)
-        w_doff = np.zeros((d, wmax + 1), dtype=np.int32)
-        w_toff = np.zeros((d, wmax + 1), dtype=np.int32)
+        words = np.zeros((d, smax), dtype=np.uint32)
+        w_off = np.zeros((d, wmax + 1), dtype=np.int32)
         w_base = np.zeros((d, wmax + 1), dtype=np.int32)
-        w_meta = np.zeros((d, wmax + 1), dtype=np.int32)
+        w_meta = np.zeros((d, wmax + 1), dtype=np.uint16)
         w_s0 = np.zeros((d, wmax + 1), dtype=np.float32)
         # Pad slots (>= local n_docs) carry the deleted bit so padding
         # and cross-shard tails score 0 without a live-mask gather.
         doc_fn = np.full((d, nmax + 1), _DELETED_BIT, dtype=np.uint16)
         for i, st in enumerate(streams):
-            doc_words[i, : st.doc_words.size] = st.doc_words
-            tf_words[i, : st.tf_words.size] = st.tf_words
+            words[i, : st.words.size] = st.words
             w = st.n_windows
-            w_doff[i, :w] = st.w_doff4
-            w_toff[i, :w] = st.w_toff4
+            w_off[i, :w] = st.w_off4
             w_base[i, :w] = st.w_base
-            w_meta[i, :w] = st.w_meta
+            w_meta[i, :w] = st.w_meta16()
             w_s0[i, :w] = st.w_s0
-            # Pad windows: zero length, offsets at the shard's zero tail.
-            w_doff[i, w:] = st.doc_words.size - 32
-            w_toff[i, w:] = st.tf_words.size - 32
+            # Pad windows: zero length, offset at the shard's zero tail.
+            w_off[i, w:] = st.words.size - 64
             doc_fn[i, : st.n_docs] = st.doc_fn[: st.n_docs]
 
         sp = self._shard_put
-        self.dev_st_doc_words = sp(doc_words)
-        self.dev_st_tf_words = sp(tf_words)
-        self.dev_st_w_doff = sp(w_doff)
-        self.dev_st_w_toff = sp(w_toff)
+        self.dev_st_words = sp(words)
+        self.dev_st_w_off = sp(w_off)
         self.dev_st_w_base = sp(w_base)
         self.dev_st_w_meta = sp(w_meta)
         self.dev_st_w_s0 = sp(w_s0)
@@ -770,16 +762,16 @@ class ShardedIndex:
         nmax = self._nmax
 
         def local_and_merge(
-            doc_words, tf_words, doc_fn,  # [1, ...]
-            w_doff, w_toff, w_base, w_meta, w_s0,  # [1, Wm+1]
+            words, doc_fn,  # [1, ...]
+            w_off, w_base, w_meta, w_s0,  # [1, Wm+1]
             doc_live, fmask, doc_offset,  # [1, ...]
             wsrc_s, wq_s,  # [1, T]
             s1,  # [256] replicated
         ):
             wsrc, wq = wsrc_s[0], wq_s[0]
             doc, sc = _unpack_and_score(
-                doc_words[0], tf_words[0], doc_fn[0], s1,
-                w_doff[0][wsrc][:, None], w_toff[0][wsrc][:, None],
+                words[0], doc_fn[0], s1,
+                w_off[0][wsrc][:, None],
                 w_base[0][wsrc][:, None], w_meta[0][wsrc][:, None],
                 w_s0[0][wsrc][:, None], nmax,
                 dw, tw,
@@ -820,7 +812,7 @@ class ShardedIndex:
         fn = shard_map(
             local_and_merge,
             mesh=self.mesh,
-            in_specs=tuple(P(axis) for _ in range(13)) + (P(),),
+            in_specs=tuple(P(axis) for _ in range(11)) + (P(),),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -905,11 +897,9 @@ class ShardedIndex:
                 lambda: self._build_stream_fn(kk, n_qb, dw, tw),
             )
             s, i = fn(
-                self.dev_st_doc_words,
-                self.dev_st_tf_words,
+                self.dev_st_words,
                 self.dev_st_doc_fn,
-                self.dev_st_w_doff,
-                self.dev_st_w_toff,
+                self.dev_st_w_off,
                 self.dev_st_w_base,
                 self.dev_st_w_meta,
                 self.dev_st_w_s0,
@@ -1064,15 +1054,11 @@ class ShardedIndex:
                 + np.asarray(self.dev_post_impact).nbytes
             )
         if self.engine == "stream":
-            postings += int(
-                np.asarray(self.dev_st_doc_words).nbytes
-                + np.asarray(self.dev_st_tf_words).nbytes
-            )
+            postings += int(np.asarray(self.dev_st_words).nbytes)
             meta += sum(
                 int(np.asarray(t).nbytes)
                 for t in (
-                    self.dev_st_w_doff,
-                    self.dev_st_w_toff,
+                    self.dev_st_w_off,
                     self.dev_st_w_base,
                     self.dev_st_w_meta,
                     self.dev_st_w_s0,

@@ -77,14 +77,12 @@ def _active_widths(meta: np.ndarray):
 
 
 def _unpack_and_score(
-    sd_words,  # [Sd] uint32 doc-delta stream
-    st_words,  # [St] uint32 tf stream
+    words,  # [S] uint32 interleaved doc-delta + tf stream
     doc_fn,  # [N+1] uint16 fieldnorm | deleted<<8 (pad slot: deleted)
     s1_table,  # [256] float32
-    win_doff,  # [Q, P] int32 word offsets (pad -> zero tail)
-    win_toff,  # [Q, P] int32
+    win_off,  # [Q, P] int32 word offsets (pad -> zero tail)
     win_base,  # [Q, P] int32 first doc id
-    win_meta,  # [Q, P] int32 len | dbits<<8 | tfbits<<16 (pad: 0)
+    win_meta,  # [Q, P] u16 len | dclass<<8 | tclass<<10 (pad: 0)
     win_s0,  # [Q, P] float32 term s0
     n_docs: int,
     dwidths=(2, 4, 8, 16),
@@ -104,13 +102,15 @@ def _unpack_and_score(
     import jax
     import jax.numpy as jnp
 
-    q, p = win_doff.shape
+    q, p = win_off.shape
     iota32 = jnp.arange(32, dtype=jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (q, p, 128), 2)
 
-    length = win_meta & 0xFF
-    dbits = (win_meta >> 8) & 0x1F
-    tfbits = (win_meta >> 16) & 0x1F
+    meta = win_meta.astype(jnp.int32)
+    length = meta & 0xFF
+    dbits = jnp.int32(2) << ((meta >> 8) & 3)
+    tclass = (meta >> 10) & 7
+    tfbits = jnp.where(tclass == 0, 0, jnp.int32(1) << tclass)
     live = lane < length[..., None]
 
     def unpack_static(words, b):
@@ -147,15 +147,17 @@ def _unpack_and_score(
             )
         return r.astype(jnp.int32)
 
-    words = sd_words[win_doff[..., None] + iota32]  # [Q, P, 32] u32
-    delta = extract(words, dbits, dwidths)
+    dw32 = words[win_off[..., None] + iota32]  # [Q, P, 32] u32
+    delta = extract(dw32, dbits, dwidths)
     delta = jnp.where(live & (lane > 0), delta, 0)
     doc = win_base[..., None] + jnp.cumsum(delta, axis=-1)
     doc = jnp.where(live, doc, n_docs)
 
     if twidths:
-        twords = st_words[win_toff[..., None] + iota32]
-        tfv = extract(twords, tfbits, twidths)
+        # The window's tf words follow its doc words in the stream.
+        toff = win_off + ((length * dbits + 31) >> 5)
+        tw32 = words[toff[..., None] + iota32]
+        tfv = extract(tw32, tfbits, twidths)
         tf = jnp.where((tfbits == 0)[..., None], 1, tfv).astype(
             jnp.float32
         )
@@ -172,8 +174,8 @@ def _unpack_and_score(
 
 
 def _stream_dense(
-    sd_words, st_words, doc_fn, s1_table,
-    w_doff, w_toff, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
+    words, doc_fn, s1_table,
+    w_off, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
     wsrc,  # [T] int32 window ids (pad = W: the zero-length pad window)
     wq,  # [T] int32 query index per window (pad -> 0: scores are 0)
     filter_mask,  # [N+1] float32 (1 keep)
@@ -192,8 +194,8 @@ def _stream_dense(
     import jax.numpy as jnp
 
     doc, sc = _unpack_and_score(
-        sd_words, st_words, doc_fn, s1_table,
-        w_doff[wsrc][:, None], w_toff[wsrc][:, None],
+        words, doc_fn, s1_table,
+        w_off[wsrc][:, None],
         w_base[wsrc][:, None], w_meta[wsrc][:, None],
         w_s0[wsrc][:, None], n_docs,
         dwidths, twidths,
@@ -212,8 +214,8 @@ def _stream_dense(
 
 
 def _stream_sparse(
-    sd_words, st_words, doc_fn, s1_table,
-    w_doff, w_toff, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
+    words, doc_fn, s1_table,
+    w_off, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
     wsrc,  # [Q, P] int32 window ids (pad = W)
     filter_mask,
     k: int,
@@ -229,8 +231,8 @@ def _stream_sparse(
     import jax.numpy as jnp
 
     doc, sc = _unpack_and_score(
-        sd_words, st_words, doc_fn, s1_table,
-        w_doff[wsrc], w_toff[wsrc], w_base[wsrc], w_meta[wsrc],
+        words, doc_fn, s1_table,
+        w_off[wsrc], w_base[wsrc], w_meta[wsrc],
         w_s0[wsrc], n_docs,
         dwidths, twidths,
     )
@@ -305,26 +307,23 @@ class StreamEngine:
             arr = jnp.asarray(x, dtype=dtype)
             return jax.device_put(arr, device) if device is not None else arr
 
-        self.dev_doc_words = put(si.doc_words)
-        self.dev_tf_words = put(si.tf_words)
+        self.dev_words = put(si.words)
         self._doc_fn_host = si.doc_fn.copy()
         self.dev_doc_fn = put(self._doc_fn_host)
         self.dev_s1 = put(si.s1_table)
-        # Pad window: the zero tail (len 0, offsets in-range).
-        self._pad_doff = np.int32(si.doc_words.size - 32)
-        self._pad_toff = np.int32(si.tf_words.size - 32)
+        # Pad window: the zero tail (len 0, offset in-range).
+        self._pad_off = np.int32(si.words.size - 64)
         # Per-window metadata lives in HBM (the SummaryTuple-array
-        # analog); dispatches ship only window ids.  Entry W is the pad
-        # window: length 0, in-range offsets.
+        # analog, 14 B/window); dispatches ship only window ids.  Entry
+        # W is the pad window: length 0, in-range offset.
         self._pad_win = np.int32(si.n_windows)
-        self.dev_w_doff = put(
-            np.append(si.w_doff4, self._pad_doff).astype(np.int32)
-        )
-        self.dev_w_toff = put(
-            np.append(si.w_toff4, self._pad_toff).astype(np.int32)
+        self.dev_w_off = put(
+            np.append(si.w_off4, self._pad_off).astype(np.int32)
         )
         self.dev_w_base = put(np.append(si.w_base, 0).astype(np.int32))
-        self.dev_w_meta = put(np.append(si.w_meta, 0).astype(np.int32))
+        self.dev_w_meta = put(
+            np.append(si.w_meta16(), 0).astype(np.uint16)
+        )
         self.dev_w_s0 = put(np.append(si.w_s0, 0.0).astype(np.float32))
         self.n_docs = si.n_docs
 
@@ -349,8 +348,7 @@ class StreamEngine:
         wmeta = sum(
             int(t.nbytes)
             for t in (
-                self.dev_w_doff,
-                self.dev_w_toff,
+                self.dev_w_off,
                 self.dev_w_base,
                 self.dev_w_meta,
                 self.dev_w_s0,
@@ -361,7 +359,7 @@ class StreamEngine:
             "postings": db["postings"],
             "doc_tables": db["doc_tables"],
             "s1_table": db["s1_table"],
-            # 20 B per window: the reference's SummaryTuple costs 24 B
+            # 14 B per window: the reference's SummaryTuple costs 24 B
             # per 128-posting block (tuples.rs:900-971) and is counted
             # on its side of the parity report too.
             "window_meta": wmeta,
@@ -449,8 +447,7 @@ class StreamEngine:
         si = self.stream
 
         tables = (
-            self.dev_w_doff,
-            self.dev_w_toff,
+            self.dev_w_off,
             self.dev_w_base,
             self.dev_w_meta,
             self.dev_w_s0,
@@ -492,8 +489,7 @@ class StreamEngine:
                     si.w_meta[ws] if t else np.zeros(1, dtype=np.int32)
                 )
                 out = _jitted_stream_dense()(
-                    self.dev_doc_words,
-                    self.dev_tf_words,
+                    self.dev_words,
                     self.dev_doc_fn,
                     self.dev_s1,
                     *tables,
@@ -533,8 +529,7 @@ class StreamEngine:
                     )
                     mt = int(max(1, n_terms[sub].max(initial=1)))
                     out = _jitted_stream_sparse()(
-                        self.dev_doc_words,
-                        self.dev_tf_words,
+                        self.dev_words,
                         self.dev_doc_fn,
                         self.dev_s1,
                         *tables,
