@@ -90,7 +90,7 @@ class TestStreamIndex:
 
 
 class TestStreamEngine:
-    @pytest.mark.parametrize("strategy", ["dense", "sparse"])
+    @pytest.mark.parametrize("strategy", ["dense", "sparse", "maxscore"])
     def test_vs_oracle(self, rng, strategy):
         seg = random_segment(rng, 3000, 80, 30000, tf_hi=5)
         engine = StreamEngine(seg, strategy=strategy)
@@ -222,3 +222,50 @@ class TestStreamEngine:
         assert np.array_equal(ids[2][ids[2] >= 0], e_ids)
         with pytest.raises(ValueError):
             engine.search(queries, 0)
+
+
+class TestMaxScore:
+    """strategy='maxscore': impact-ordered window-prefix pruning with
+    exact candidate rescoring (the MaxScore/Block-Max analog of
+    search.rs:151-280's skip machinery, serving from the stream)."""
+
+    def test_pruned_equals_oracle_with_mutation_surface(self, rng):
+        seg = random_segment(rng, 4000, 100, 900, tf_hi=8)
+        ms = StreamEngine(seg, strategy="maxscore")
+        ex = StreamEngine(seg, strategy="sparse")
+        queries = [
+            Query.from_int_ids(
+                rng.integers(0, 900, size=int(rng.integers(1, 7))).tolist()
+            )
+            for _ in range(48)
+        ]
+        for k in (1, 10, 100):
+            s_m, i_m, _ = ms.search(queries, k)
+            s_e, i_e, _ = ex.search(queries, k)
+            assert np.array_equal(i_m, i_e), k
+            np.testing.assert_array_equal(
+                np.isfinite(s_m), np.isfinite(s_e)
+            )
+            f = np.isfinite(s_m)
+            np.testing.assert_allclose(s_m[f], s_e[f], rtol=2e-6)
+        # deletes + prefilter keep the bounds conservative
+        deleted = rng.random(4000) < 0.5
+        ms.set_deleted(deleted)
+        ex.set_deleted(deleted)
+        fmask = (rng.random(4000) < 0.5).astype(np.float32)
+        s_m, i_m, _ = ms.search(queries, 10, filter_mask=fmask)
+        s_e, i_e, _ = ex.search(queries, 10, filter_mask=fmask)
+        assert np.array_equal(i_m, i_e)
+
+    def test_k_above_pool_falls_back(self, rng):
+        # k > 128 routes every query through the exhaustive path.
+        seg = random_segment(rng, 600, 40, 200, tf_hi=3)
+        ms = StreamEngine(seg, strategy="maxscore")
+        ex = StreamEngine(seg, strategy="sparse")
+        queries = [
+            Query.from_int_ids(rng.integers(0, 200, size=3).tolist())
+            for _ in range(8)
+        ]
+        s_m, i_m, _ = ms.search(queries, 300)
+        s_e, i_e, _ = ex.search(queries, 300)
+        assert np.array_equal(i_m, i_e)

@@ -66,6 +66,16 @@ def _jitted_stream_sparse():
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_stream_rescore():
+    import jax
+
+    return jax.jit(
+        _stream_rescore,
+        static_argnames=("k", "n_docs", "bs_steps", "dwidths", "twidths"),
+    )
+
+
 def _active_widths(meta: np.ndarray):
     """Static (doc, tf) width classes present in a dispatch's window
     metadata — the kernel specializes to exactly these (pad windows are
@@ -270,6 +280,76 @@ def _stream_sparse(
     return scores, ids
 
 
+def _stream_rescore(
+    words, doc_fn, s1_table,
+    w_off, w_base, w_meta, w_s0,  # [W+1] HBM-resident tables
+    cand,  # [Q, C] int32 candidate doc ids (pad = n_docs)
+    t_lo, t_hi,  # [Q, T] int32 window spans per query term (orig order)
+    filter_mask,  # [N+1] float32
+    k: int,
+    n_docs: int,
+    bs_steps: int,
+    dwidths=(2, 4, 8, 16),
+    twidths=(2, 4, 8, 16),
+):
+    """Exact re-scoring of candidate docs (MaxScore phase 2).
+
+    For each (query, term, candidate): binary-search the term's
+    doc-ascending window span for the window whose base covers the
+    candidate (the TruncatedTapeReader seek analog, search.rs:177-229),
+    decompress it, and pick the candidate's posting if present.  Scores
+    are Σ-over-terms of the same per-posting expression as phase 1;
+    ties break (score desc, doc asc)."""
+    import jax
+    import jax.numpy as jnp
+
+    q, c = cand.shape
+    t = t_lo.shape[1]
+    w_pad = w_off.shape[0] - 1
+
+    # Last window with base <= cand in [lo, hi) — 0 iterations when the
+    # span is empty (l stays lo; valid = False).
+    l = jnp.broadcast_to(t_lo[:, :, None], (q, t, c))
+    r = jnp.broadcast_to(t_hi[:, :, None], (q, t, c))
+    cb = cand[:, None, :]
+    for _ in range(bs_steps):
+        m = (l + r) >> 1
+        go = (m < r) & (w_base[jnp.minimum(m, w_pad)] <= cb)
+        l = jnp.where(go, m + 1, l)
+        r = jnp.where(go, r, m)
+    valid = l > t_lo[:, :, None]
+    wi = jnp.where(valid, l - 1, w_pad).reshape(q, t * c)
+
+    doc, sc = _unpack_and_score(
+        words, doc_fn, s1_table,
+        w_off[wi], w_base[wi], w_meta[wi], w_s0[wi], n_docs,
+        dwidths, twidths,
+    )  # [Q, T*C, 128]
+    cb_flat = jnp.broadcast_to(cand[:, None, :], (q, t, c)).reshape(
+        q, t * c
+    )
+    contrib = jnp.sum(
+        jnp.where(doc == cb_flat[..., None], sc, 0.0), axis=-1
+    )  # [Q, T*C]
+    scores = jnp.sum(contrib.reshape(q, t, c), axis=1)  # [Q, C]
+
+    keep = (cand < n_docs) & (scores > 0.0) & (
+        filter_mask[jnp.minimum(cand, n_docs)] > 0.0
+    )
+    scores = jnp.where(keep, scores, -jnp.inf)
+    sort_ids = jnp.where(keep, cand, jnp.int32(np.iinfo(np.int32).max))
+    neg, ids = jax.lax.sort((-scores, sort_ids), num_keys=2)
+    kk = min(k, c)
+    scores, ids = -neg[:, :kk], ids[:, :kk]
+    ids = jnp.where(jnp.isfinite(scores), ids, 0)
+    if kk < k:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, k - kk)), constant_values=-jnp.inf
+        )
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)))
+    return scores, ids
+
+
 class StreamEngine:
     """Batched exact search serving from the compressed stream.
 
@@ -290,12 +370,13 @@ class StreamEngine:
         strategy: str = "auto",
         global_stats=None,
     ):
-        if strategy not in ("auto", "dense", "sparse"):
+        if strategy not in ("auto", "dense", "sparse", "maxscore"):
             raise ValueError(f"unknown strategy {strategy!r}")
         import jax
         import jax.numpy as jnp
 
         self.strategy = strategy
+        self._ms = None  # lazy impact-desc window order (MaxScore)
         self.segment = segment
         self.accumulator_budget = accumulator_budget
         self.stream = stream or build_stream_index(
@@ -413,6 +494,172 @@ class StreamEngine:
             ids[dst_q, pos] = src
         return ids, src
 
+    def _maxscore_tables(self):
+        """Impact-descending window order within each term + its bounds
+        (f64, conservatively padded at build) — the MaxScore analog of
+        the reference's per-term wand pair ordering (TokenTuple)."""
+        if self._ms is None:
+            si = self.stream
+            order = np.lexsort((-si.w_maximp, si.w_token)).astype(
+                np.int64
+            )
+            self._ms = (order, si.w_maximp[order].astype(np.float64))
+        return self._ms
+
+    def _maxscore_phase(self, queries, k, fm_dev, n_terms):
+        """Two-phase pruned exact top-k (strategy='maxscore').
+
+        Phase 1 scores only each term's highest-bound windows (bound >=
+        max-bound/2); any doc outside that prefix can add at most S =
+        Σ-per-term next-window bounds, so docs with partial + S below
+        the kth partial — and, when S < kth, every unseen doc — are
+        provably outside the top-k.  Phase 2 exact-rescores the
+        surviving candidates.  Queries whose bound bookkeeping cannot
+        certify the top-k (S >= kth partial, or candidates overflow the
+        pool) are returned for the exhaustive fallback.
+
+        Returns (pending entries for finalize, fallback query indices).
+        """
+        import jax.numpy as jnp
+
+        si = self.stream
+        n_docs = self.n_docs
+        qn = len(queries)
+        order, bounds = self._maxscore_tables()
+        tws = si.token_w_start
+        ids, qidx = batch_lookup(self.segment.lookup_tokens, queries)
+        if ids.size == 0:
+            return [], np.zeros(0, dtype=np.int64)
+        lo = tws[ids].astype(np.int64)
+        hi = tws[ids + 1].astype(np.int64)
+
+        maxb = np.zeros(qn, dtype=np.float64)
+        np.maximum.at(maxb, qidx, bounds[lo])
+        tau = (maxb / 2.0)[qidx]
+        # Count of (descending) bounds >= tau in each [lo, hi) span.
+        l, r = lo.copy(), hi.copy()
+        for _ in range(int(np.max(hi - lo, initial=1)).bit_length() + 1):
+            m = (l + r) >> 1
+            go = (m < r) & (
+                bounds[np.minimum(m, bounds.size - 1)] >= tau
+            )
+            l = np.where(go, m + 1, l)
+            r = np.where(go, r, m)
+        cut = l - lo
+        rem = np.where(
+            cut < hi - lo,
+            bounds[np.minimum(lo + cut, bounds.size - 1)],
+            0.0,
+        )
+        s_rem = np.zeros(qn, dtype=np.float64)
+        np.add.at(s_rem, qidx, rem)
+
+        # Phase 1: the prefix windows through the sparse reduction with
+        # a C-wide result pool.
+        wsrc = order[np.repeat(lo, cut) + group_positions(cut)]
+        q_of = np.repeat(qidx, cut)
+        sizes = np.bincount(q_of, minlength=qn).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        lists = (wsrc, starts, sizes)
+        c_pool = int(min(_bucket(max(2 * k, 128), 1), 2048))
+        p1 = []
+        p_bucket = max(1, _bucket(int(sizes.max(initial=1)), 8))
+        lane_cap = max(1, (1 << 26) // (p_bucket * 128))
+        for i0 in range(0, qn, lane_cap):
+            sub = np.arange(i0, min(qn, i0 + lane_cap))
+            mat, src = self._assemble(lists, sub)
+            dw, tw = _active_widths(
+                si.w_meta[src]
+                if src is not None
+                else np.zeros(1, dtype=np.int32)
+            )
+            mt = int(max(1, n_terms[sub].max(initial=1)))
+            out = _jitted_stream_sparse()(
+                self.dev_words, self.dev_doc_fn, self.dev_s1,
+                self.dev_w_off, self.dev_w_base, self.dev_w_meta,
+                self.dev_w_s0,
+                jnp.asarray(mat), fm_dev,
+                k=c_pool, n_docs=n_docs,
+                seg_steps=int(mt - 1).bit_length(),
+                dwidths=dw, twidths=tw,
+            )
+            p1.append((sub, out))
+        sp = np.full((qn, c_pool), -np.inf, dtype=np.float32)
+        ip = np.full((qn, c_pool), n_docs, dtype=np.int64)
+        for sub, (s_d, i_d) in p1:
+            s = np.asarray(s_d)
+            i = np.asarray(i_d, dtype=np.int64)
+            sp[sub, : s.shape[1]] = s
+            ip[sub, : i.shape[1]] = np.where(np.isfinite(s), i, n_docs)
+
+        theta = sp[:, k - 1].astype(np.float64)
+        last = sp[:, -1].astype(np.float64)
+        overflow = (
+            ~np.isfinite(theta)
+            | (s_rem >= theta)
+            | (np.isfinite(last) & (last + s_rem >= theta))
+        )
+        ok = np.flatnonzero(~overflow)
+        fallback = np.flatnonzero(overflow)
+        if ok.size == 0:
+            return [], fallback
+
+        # Candidates: partial + S could reach the kth partial (a few
+        # f32 ulps of slack keep the set a superset under rounding).
+        th = theta[ok]
+        th_pad = th - 4.0 * np.spacing(
+            np.abs(th).astype(np.float32)
+        ).astype(np.float64)
+        mask = np.isfinite(sp[ok]) & (
+            sp[ok].astype(np.float64) + s_rem[ok, None]
+            >= th_pad[:, None]
+        )
+        cand_ids = np.where(mask, ip[ok], n_docs)
+        cand_ids.sort(axis=1)
+        c_pad = int(_bucket(max(int(mask.sum(1).max(initial=1)), k), 16))
+        if c_pad <= cand_ids.shape[1]:
+            cand = cand_ids[:, :c_pad]
+        else:
+            cand = np.pad(
+                cand_ids,
+                ((0, 0), (0, c_pad - cand_ids.shape[1])),
+                constant_values=n_docs,
+            )
+        cand = cand.astype(np.int32)
+
+        # Per-(query, term) window spans in the original doc-ascending
+        # order for the rescore's binary search.
+        qstart = np.concatenate(
+            ([0], np.cumsum(np.bincount(qidx, minlength=qn)))
+        )
+        tpos = np.arange(qidx.size, dtype=np.int64) - qstart[qidx]
+        row = np.full(qn, -1, dtype=np.int64)
+        row[ok] = np.arange(ok.size)
+        selp = row[qidx] >= 0
+        tmax = int(_bucket(int(n_terms[ok].max(initial=1)), 2))
+        t_lo = np.zeros((ok.size, tmax), dtype=np.int32)
+        t_hi = np.zeros((ok.size, tmax), dtype=np.int32)
+        t_lo[row[qidx[selp]], tpos[selp]] = lo[selp]
+        t_hi[row[qidx[selp]], tpos[selp]] = hi[selp]
+        bs_steps = int(np.max(hi - lo, initial=1)).bit_length() + 1
+
+        pending = []
+        lane_cap2 = max(1, (1 << 26) // (tmax * c_pad * 128))
+        for i0 in range(0, ok.size, lane_cap2):
+            s2 = slice(i0, min(ok.size, i0 + lane_cap2))
+            out = _jitted_stream_rescore()(
+                self.dev_words, self.dev_doc_fn, self.dev_s1,
+                self.dev_w_off, self.dev_w_base, self.dev_w_meta,
+                self.dev_w_s0,
+                jnp.asarray(cand[s2]),
+                jnp.asarray(t_lo[s2]),
+                jnp.asarray(t_hi[s2]),
+                fm_dev,
+                k=k, n_docs=n_docs, bs_steps=bs_steps,
+            )
+            pending.append((ok[s2], out))
+        return pending, fallback
+
     def search_async(
         self,
         queries: Sequence[Query],
@@ -429,8 +676,10 @@ class StreamEngine:
         queries = list(queries)
         qn = len(queries)
         n_docs = self.n_docs
-        use_sparse = self.strategy == "sparse" or (
-            self.strategy == "auto" and n_docs >= self.SPARSE_MIN_DOCS
+        use_maxscore = self.strategy == "maxscore" and k <= 128
+        use_sparse = not use_maxscore and (
+            self.strategy in ("sparse", "maxscore")
+            or (self.strategy == "auto" and n_docs >= self.SPARSE_MIN_DOCS)
         )
 
         if filter_mask is not None:
@@ -453,7 +702,15 @@ class StreamEngine:
             self.dev_w_s0,
         )
         pending = []
-        if not use_sparse:
+        sparse_sel = np.arange(qn, dtype=np.int64)
+        if use_maxscore:
+            ms_pending, sparse_sel = self._maxscore_phase(
+                queries, k, fm_dev, n_terms
+            )
+            pending.extend(ms_pending)
+            use_sparse = sparse_sel.size > 0
+
+        if not use_sparse and not use_maxscore:
             # Flat dense dispatch: contiguous query chunks bounded by the
             # accumulator budget and a window-lane cap; per-dispatch host
             # transfer is 8 B per window (ids only).
@@ -505,16 +762,18 @@ class StreamEngine:
                 _throttle_large(out, tb * 128 * 8)
                 pending.append((np.arange(q0, q1), out))
                 q0 = q1
-        else:
-            bucket_of = np.zeros(qn, dtype=np.int64)
-            waste = qn * int(sizes.max(initial=0)) - int(sizes.sum())
+        elif use_sparse:
+            sel = sparse_sel
+            ssz = sizes[sel]
+            bucket_of = np.zeros(sel.size, dtype=np.int64)
+            waste = sel.size * int(ssz.max(initial=0)) - int(ssz.sum())
             if waste > 65536:
                 b = 32
-                while np.any(sizes > b):
-                    bucket_of[sizes > b] += 1
+                while np.any(ssz > b):
+                    bucket_of[ssz > b] += 1
                     b *= 4
             for bu in np.unique(bucket_of):
-                bidx = np.flatnonzero(bucket_of == bu)
+                bidx = sel[np.flatnonzero(bucket_of == bu)]
                 p_bucket = max(
                     1, _bucket(int(sizes[bidx].max(initial=1)), 8)
                 )
