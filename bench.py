@@ -308,6 +308,13 @@ def main():
         help="insert N growing (unsealed) docs and serve batches through "
         "the facade's sealed+growing merge path (VERDICT r2 #3 evidence)",
     )
+    parser.add_argument(
+        "--cache",
+        default=None,
+        help="directory to save/load the built segment (the multi-"
+        "million-doc synthetic corpora take an hour+ to generate on one "
+        "host core; the reference-codec segment file loads in seconds)",
+    )
     args = parser.parse_args()
 
     from vectorchord_bm25_tpu.utils.compile_cache import enable_compile_cache
@@ -326,12 +333,56 @@ def main():
     from vectorchord_bm25_tpu.search.hybrid import HybridEngine
     from vectorchord_bm25_tpu.search.stream import StreamEngine
 
-    keys, doc_ids, tfs, doc_start = synth_corpus_postings(
-        args.docs, args.vocab, args.avg_len
-    )
-    seg = build_sealed_segment_from_postings(
-        keys, doc_ids, tfs, args.docs, doc_grouped=True
-    )
+    seg = queries = None
+    if args.cache:
+        import os
+
+        from vectorchord_bm25_tpu.index.storage import (
+            load_segment,
+            save_segment,
+        )
+        from vectorchord_bm25_tpu.text.intern import Query
+        from vectorchord_bm25_tpu.utils.options import IndexOptions
+
+        tag = f"{args.docs}_{args.vocab}_{args.avg_len}"
+        seg_path = os.path.join(args.cache, f"seg_{tag}.npz")
+        q_path = os.path.join(
+            args.cache, f"queries_{tag}_{args.queries}.npz"
+        )
+        meta_path = os.path.join(args.cache, f"meta_{tag}.json")
+        if all(os.path.exists(p) for p in (seg_path, q_path, meta_path)):
+            with open(meta_path) as f:
+                m = json.load(f)
+            seg = load_segment(
+                seg_path, IndexOptions(), m["n_docs"], m["sum_dl"]
+            )
+            qz = np.load(q_path)
+            qk, qoff = qz["keys"], qz["offsets"]
+            queries = [
+                Query(keys=qk[qoff[i] : qoff[i + 1]])
+                for i in range(len(qoff) - 1)
+            ]
+            print(f"loaded cached segment+queries from {args.cache}",
+                  file=__import__("sys").stderr)
+    if seg is None:
+        keys, doc_ids, tfs, doc_start = synth_corpus_postings(
+            args.docs, args.vocab, args.avg_len
+        )
+        seg = build_sealed_segment_from_postings(
+            keys, doc_ids, tfs, args.docs, doc_grouped=True
+        )
+        queries = synth_queries_fast(keys, doc_start, seg, args.queries)
+        if args.cache:
+            os.makedirs(args.cache, exist_ok=True)
+            save_segment(seg, seg_path)
+            qk = np.concatenate([q.keys for q in queries]).astype("S16")
+            qoff = np.zeros(len(queries) + 1, dtype=np.int64)
+            np.cumsum([q.keys.size for q in queries], out=qoff[1:])
+            np.savez(q_path, keys=qk, offsets=qoff)
+            with open(meta_path, "w") as f:
+                json.dump(
+                    {"n_docs": seg.n_docs, "sum_dl": int(seg.sum_dl)}, f
+                )
     if args.engine == "blockmax":
         engine = BlockMaxEngine(
             seg, chunk=args.chunk, posting_mode=args.posting_mode
@@ -358,7 +409,6 @@ def main():
         engine = StreamEngine(seg)
     else:
         engine = ExactEngine(seg)
-    queries = synth_queries_fast(keys, doc_start, seg, args.queries)
 
     batches = [
         queries[i : i + args.batch] for i in range(0, len(queries), args.batch)
