@@ -289,6 +289,13 @@ def main():
     )
     parser.add_argument("--chunk", type=int, default=None)
     parser.add_argument(
+        "--strategy",
+        choices=["auto", "dense", "sparse", "maxscore"],
+        default="auto",
+        help="stream-engine reduction strategy (maxscore = impact-"
+        "ordered window-prefix pruning with exact candidate rescore)",
+    )
+    parser.add_argument(
         "--posting-mode",
         choices=["impact", "tf"],
         default="impact",
@@ -406,7 +413,7 @@ def main():
             seg, chunk=args.chunk, posting_mode=args.posting_mode
         )
     elif args.engine == "stream":
-        engine = StreamEngine(seg)
+        engine = StreamEngine(seg, strategy=args.strategy)
     else:
         engine = ExactEngine(seg)
 

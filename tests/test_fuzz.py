@@ -65,8 +65,11 @@ def random_doc(rng, vocab):
     return Document.from_int_ids(rng.integers(0, vocab, size=n).tolist())
 
 
-@pytest.mark.parametrize("seed", [1, 2])
-def test_fuzz_index_vs_oracle(seed):
+@pytest.mark.parametrize(
+    "seed,engine",
+    [(1, "blockmax"), (2, "blockmax"), (3, "stream"), (4, "maxscore")],
+)
+def test_fuzz_index_vs_oracle(seed, engine):
     rng = np.random.default_rng(seed)
     vocab = 80
     n_initial = 150
@@ -74,7 +77,14 @@ def test_fuzz_index_vs_oracle(seed):
 
     docs = [random_doc(rng, vocab) for _ in range(n_initial)]
     payloads = list(range(n_initial))
-    index = Bm25Index.build(docs, payloads=payloads)
+    if engine == "maxscore":
+        # The pruned stream strategy under the full mutation stream.
+        index = Bm25Index.build(
+            docs, payloads=payloads, engine="stream",
+            engine_options={"strategy": "maxscore"},
+        )
+    else:
+        index = Bm25Index.build(docs, payloads=payloads, engine=engine)
     oracle = Oracle()
     for p, d in zip(payloads, docs):
         oracle.insert(p, d)

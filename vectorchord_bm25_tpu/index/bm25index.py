@@ -105,11 +105,15 @@ class Bm25Index:
         options: IndexOptions,
         search_options: Optional[SearchOptions] = None,
         engine: str = "blockmax",
+        engine_options: Optional[dict] = None,
     ):
         if engine not in ("exact", "blockmax", "hybrid", "stream"):
             raise ValueError(f"unknown engine {engine!r}")
         self.options = options
         self.search_options = search_options or SearchOptions()
+        # Extra kwargs forwarded to the engine constructor (e.g.
+        # {"strategy": "maxscore"} for the pruned stream strategy).
+        self.engine_options = dict(engine_options or {})
         self.seed = seed
         self.sealed = sealed
         self.deleted = np.zeros(sealed.n_docs, dtype=bool)
@@ -147,6 +151,7 @@ class Bm25Index:
         search_options: Optional[SearchOptions] = None,
         seed: Optional[bytes] = None,
         engine: str = "blockmax",
+        engine_options: Optional[dict] = None,
         reorder: str = "none",
         progress=None,
     ) -> "Bm25Index":
@@ -169,7 +174,10 @@ class Bm25Index:
         sealed = build_sealed_segment(
             documents, payloads=payloads, options=options, progress=progress
         )
-        return cls(sealed, seed, options, search_options, engine=engine)
+        return cls(
+            sealed, seed, options, search_options,
+            engine=engine, engine_options=engine_options,
+        )
 
     # ------------------------------------------------------------------
     @property
@@ -183,20 +191,21 @@ class Bm25Index:
 
     def _engine_locked(self):
         if self._engine is None:
+            kw = self.engine_options
             if self.engine_kind == "blockmax":
                 from ..search.blockmax import BlockMaxEngine
 
-                self._engine = BlockMaxEngine(self.sealed)
+                self._engine = BlockMaxEngine(self.sealed, **kw)
             elif self.engine_kind == "hybrid":
                 from ..search.hybrid import HybridEngine
 
-                self._engine = HybridEngine(self.sealed)
+                self._engine = HybridEngine(self.sealed, **kw)
             elif self.engine_kind == "stream":
                 from ..search.stream import StreamEngine
 
-                self._engine = StreamEngine(self.sealed)
+                self._engine = StreamEngine(self.sealed, **kw)
             else:
-                self._engine = ExactEngine(self.sealed)
+                self._engine = ExactEngine(self.sealed, **kw)
             self._engine.set_deleted(self.deleted)
             self._engine_deleted_dirty = False
         elif self._engine_deleted_dirty:
