@@ -171,11 +171,29 @@ def run_dataset_bench(args) -> None:
     if shape is not None and shape.startswith("msmarco"):
         # North-star scale: streamed corpus + out-of-core build
         # (data/stream_synth.py); the corpus never materializes in RAM.
+        import os
+
         from vectorchord_bm25_tpu.data.harness import build_index_streaming
         from vectorchord_bm25_tpu.data.stream_synth import generate_streaming
 
         ds = generate_streaming(shape)
-        index = build_index_streaming(ds, engine=args.engine)
+        index = None
+        if args.cache:
+            from vectorchord_bm25_tpu.index.storage import (
+                open_index,
+                save_index,
+            )
+
+            idx_dir = os.path.join(args.cache, f"dsidx_{shape}")
+            if os.path.exists(os.path.join(idx_dir, "CURRENT")):
+                index = open_index(idx_dir)
+                print(f"loaded cached index from {idx_dir}",
+                      file=sys.stderr)
+        if index is None:
+            index = build_index_streaming(ds, engine=args.engine)
+            if args.cache:
+                os.makedirs(idx_dir, exist_ok=True)
+                save_index(index, idx_dir)
     else:
         if shape is not None:
             ds = generate_beir_like(shape)
