@@ -342,8 +342,12 @@ def main():
     )
     args = parser.parse_args()
 
+    from vectorchord_bm25_tpu.utils.backend import ensure_live_backend
     from vectorchord_bm25_tpu.utils.compile_cache import enable_compile_cache
 
+    # Tunnel-outage guard: never hang in backend init — fall back to the
+    # CPU backend if a subprocess probe shows device init wedged.
+    ensure_live_backend()
     enable_compile_cache()
 
     if args.dataset:
