@@ -250,9 +250,14 @@ def run_growing_bench(args, seg, engine, batches) -> None:
         for _ in range(args.rounds):
             t0 = time.perf_counter()
             n = 0
+            fins = []
             for batch in batches:
-                index.search_batch(batch, args.k)
+                # Pipelined facade path: sealed + growing dispatches of
+                # batch i overlap host prep / merge of batch i-1.
+                fins.append(index.search_batch_async(batch, args.k))
                 n += len(batch)
+            for fin in fins:
+                fin()
             best = max(best, n / (time.perf_counter() - t0))
         return best
 

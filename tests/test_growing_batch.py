@@ -65,6 +65,49 @@ class TestGrowingBatchCorrectness:
             h.payload >= 1000 for row in got for h in row
         )
 
+    def test_async_matches_sync(self, rng):
+        """search_batch_async (the pipelined facade path) must return
+        exactly search_batch's results — with growing docs, deletes,
+        and a post-filter — and tolerate pipelined multi-batch dispatch
+        with mutations between dispatch and finalize (results reflect
+        dispatch-time state for the device inputs; this pins that the
+        finalize is safe, not a point-in-time snapshot guarantee)."""
+        vocab = 80
+        idx = Bm25Index.build(make_docs(rng, 400, vocab=vocab), engine="stream")
+        for j, d in enumerate(make_docs(rng, 60, vocab=vocab)):
+            idx.insert(d, payload=2000 + j)
+        idx.bulkdelete_payloads([2000 + j for j in range(10)])
+        queries = _queries(rng, 24, vocab)
+
+        sync = idx.search_batch(queries, k=8)
+        fin = idx.search_batch_async(queries, k=8)
+        assert [
+            [(h.payload, round(h.score, 5)) for h in row] for row in fin()
+        ] == [
+            [(h.payload, round(h.score, 5)) for h in row] for row in sync
+        ]
+
+        # Post-filter mode (prefilter off by default) through the async
+        # path.
+        flt = lambda p: p % 2 == 0  # noqa: E731
+        sync_f = idx.search_batch(queries, k=8, filter_fn=flt)
+        fin_f = idx.search_batch_async(queries, k=8, filter_fn=flt)
+        assert [[h.payload for h in row] for row in fin_f()] == [
+            [h.payload for h in row] for row in sync_f
+        ]
+
+        # Pipelined dispatch: all batches in flight, then finalize; an
+        # insert between dispatch and finalize must not corrupt results.
+        batches = [queries[:12], queries[12:]]
+        fins = [idx.search_batch_async(b, k=8) for b in batches]
+        idx.insert(make_docs(rng, 1, vocab=vocab)[0], payload=9999)
+        got = [row for fin in fins for row in fin()]
+        again = idx.search_batch(queries, k=8)
+        for row_a, row_b in zip(got, again):
+            pa = [h.payload for h in row_a if h.payload != 9999]
+            pb = [h.payload for h in row_b if h.payload != 9999]
+            assert pa == pb
+
     def test_growing_only_index(self, rng):
         idx = Bm25Index.build(make_docs(rng, 5, vocab=20), engine="exact")
         for j, d in enumerate(make_docs(rng, 50, vocab=20)):

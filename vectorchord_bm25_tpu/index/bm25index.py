@@ -560,12 +560,53 @@ class Bm25Index:
                 for hits in unfiltered
             ]
         with self._rw.read():
-            return self._search_batch_locked(queries, k, filter_fn)
+            return self._search_batch_dispatch(queries, k, filter_fn)()
 
-    def _search_batch_locked(self, queries, k, filter_fn=None):
+    def search_batch_async(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        filter_fn: Optional[Callable[[int], bool]] = None,
+        session: Optional[SessionConfig] = None,
+    ):
+        """Dispatch a batch and return finalize() -> search_batch's result.
+
+        The pipelined form of `search_batch`: successive batches overlap
+        host prep, device compute, and result transfer (the growing
+        segment's second device dispatch rides the same pipeline, so a
+        non-empty growing segment costs overlap, not a serialized round
+        trip per batch).  The read lock is held during dispatch only;
+        results reflect the index state at dispatch time (device inputs
+        are immutable snapshots), matching acknowledged-at-dispatch
+        semantics.
+        """
+        if k <= 0:
+            raise ValueError("number of needed rows is set to 0")
+        queries = [self._unbind(q) for q in queries]
+        sess = session or SessionConfig()
+        if filter_fn is not None and not sess.resolve_prefilter(
+            self.search_options
+        ):
+            fin = self.search_batch_async(queries, k)
+
+            def post_filtered():
+                return [
+                    [h for h in hits if filter_fn(h.payload)]
+                    for hits in fin()
+                ]
+
+            return post_filtered
+        with self._rw.read():
+            return self._search_batch_dispatch(queries, k, filter_fn)
+
+    def _search_batch_dispatch(self, queries, k, filter_fn=None):
+        """Dispatch sealed + growing device work under the read lock;
+        the returned finalize() syncs and merges (lock-free: all inputs
+        were snapshotted at dispatch)."""
         qn = len(queries)
         g = len(self.growing)
         g_fin = None
+        g_payloads = None
         if g:
             # Dispatch the growing segment's device top-k first so it
             # overlaps the sealed dispatch below.
@@ -577,47 +618,75 @@ class Bm25Index:
             )
             g_fin = self.growing.topk_batch_async(queries, k, keep)
 
+        g_base = self.sealed.n_docs
         if self.sealed.n_docs:
             mask = self._sealed_filter_mask(filter_fn)
-            scores, slots, payloads = self.engine().search(
-                list(queries), k, filter_mask=mask
-            )
-            scores = scores.astype(np.float64)
-            slots = np.asarray(slots, dtype=np.int64)
-            payloads = np.asarray(payloads, dtype=np.int64)
-            scores[slots < 0] = -np.inf
+            engine = self.engine()
+            if hasattr(engine, "search_async"):
+                s_fin = engine.search_async(list(queries), k, filter_mask=mask)
+            else:
+                s_res = engine.search(list(queries), k, filter_mask=mask)
+                s_fin = lambda: s_res  # noqa: E731
         else:
-            scores = np.full((qn, k), -np.inf, dtype=np.float64)
-            slots = np.full((qn, k), -1, dtype=np.int64)
-            payloads = np.full((qn, k), -1, dtype=np.int64)
+            s_fin = None
 
-        if g:
-            # Vectorized lexsort merge of sealed [Q, k] + growing [Q, k].
-            g_base = self.sealed.n_docs
-            g_top_scores, top = g_fin()
-            all_scores = np.concatenate([scores, g_top_scores], axis=1)
-            # Pad slots (-1) sort after real ids at equal -inf score.
-            g_ids = np.where(top >= 0, g_base + top, np.iinfo(np.int64).max)
-            all_order = np.concatenate(
-                [np.where(slots < 0, np.iinfo(np.int64).max, slots), g_ids],
-                axis=1,
-            )
-            all_payloads = np.concatenate(
-                [payloads, g_payloads[np.maximum(top, 0)]], axis=1
-            )
-            pick = np.lexsort((all_order, -all_scores), axis=-1)[:, :k]
-            scores = np.take_along_axis(all_scores, pick, axis=1)
-            payloads = np.take_along_axis(all_payloads, pick, axis=1)
+        def finalize():
+            if s_fin is not None:
+                scores, slots, payloads = s_fin()
+                scores = scores.astype(np.float64)
+                slots = np.asarray(slots, dtype=np.int64)
+                payloads = np.asarray(payloads, dtype=np.int64)
+                scores[slots < 0] = -np.inf
+            else:
+                scores = np.full((qn, k), -np.inf, dtype=np.float64)
+                slots = np.full((qn, k), -1, dtype=np.int64)
+                payloads = np.full((qn, k), -1, dtype=np.int64)
 
-        out: List[List[SearchHit]] = []
-        for qi in range(qn):
-            row_s = scores[qi]
-            row_p = payloads[qi]
-            valid = np.isfinite(row_s)
-            out.append(
-                [SearchHit(s, p) for s, p in zip(row_s[valid], row_p[valid])]
-            )
-        return out
+            if g:
+                # Vectorized lexsort merge of sealed [Q, k] + growing
+                # [Q, k].
+                g_top_scores, top = g_fin()
+                all_scores = np.concatenate(
+                    [scores, g_top_scores], axis=1
+                )
+                # Pad slots (-1) sort after real ids at equal -inf score.
+                g_ids = np.where(
+                    top >= 0, g_base + top, np.iinfo(np.int64).max
+                )
+                all_order = np.concatenate(
+                    [
+                        np.where(
+                            slots < 0, np.iinfo(np.int64).max, slots
+                        ),
+                        g_ids,
+                    ],
+                    axis=1,
+                )
+                all_payloads = np.concatenate(
+                    [payloads, g_payloads[np.maximum(top, 0)]], axis=1
+                )
+                pick = np.lexsort((all_order, -all_scores), axis=-1)[:, :k]
+                merged_scores = np.take_along_axis(all_scores, pick, axis=1)
+                merged_payloads = np.take_along_axis(
+                    all_payloads, pick, axis=1
+                )
+            else:
+                merged_scores, merged_payloads = scores, payloads
+
+            out: List[List[SearchHit]] = []
+            for qi in range(qn):
+                row_s = merged_scores[qi]
+                row_p = merged_payloads[qi]
+                valid = np.isfinite(row_s)
+                out.append(
+                    [
+                        SearchHit(s, p)
+                        for s, p in zip(row_s[valid], row_p[valid])
+                    ]
+                )
+            return out
+
+        return finalize
 
     # ------------------------------------------------------------------
     def evaluate(self, document: Document, query: Query) -> float:
