@@ -1,0 +1,214 @@
+"""Roofline: achieved HBM bytes/s of the served stream configs.
+
+Measures device-only time of the jitted stream kernels (inputs pre-staged
+on device, repeated block_until_ready) and reports bytes touched per
+second against the chip's HBM peak, so optimization targets hardware
+limits rather than the reference's CPU baseline (VERDICT r2 #9).
+
+Two operating points:
+- dense path (the <2M-doc serving default): window gather + flat
+  scatter-add into the [Q, N] accumulator + hierarchical top-k;
+- sparse path (the multi-million-doc default): bucketed window matrix
+  gather + segmented sum + per-query top-k (no accumulator).
+
+Usage:  python tools/roofline.py [--docs N ...] [--queries N]
+        [--cache DIR]   (reuses bench.py --cache segments for big N)
+
+Writes one line per config to stdout; paste into DESIGN.md's roofline
+subsection.  v5e peak HBM BW is ~819 GB/s (public spec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import synth_corpus_postings, synth_queries_fast  # noqa: E402
+
+
+def _load_or_build(n_docs, vocab, avg_len, n_queries, cache):
+    from vectorchord_bm25_tpu.index.sealed import (
+        build_sealed_segment_from_postings,
+    )
+    from vectorchord_bm25_tpu.index.storage import load_segment, save_segment
+    from vectorchord_bm25_tpu.text.intern import Query
+    from vectorchord_bm25_tpu.utils.options import IndexOptions
+
+    seg = queries = None
+    if cache:
+        tag = f"{n_docs}_{vocab}_{avg_len}"
+        seg_path = os.path.join(cache, f"seg_{tag}.npz")
+        meta_path = os.path.join(cache, f"meta_{tag}.json")
+        q_path = os.path.join(cache, f"queries_{tag}_{n_queries}.npz")
+        if all(os.path.exists(p) for p in (seg_path, meta_path, q_path)):
+            with open(meta_path) as f:
+                m = json.load(f)
+            seg = load_segment(seg_path, IndexOptions(), m["n_docs"], m["sum_dl"])
+            qz = np.load(q_path)
+            qk, qoff = qz["keys"], qz["offsets"]
+            queries = [
+                Query(keys=qk[qoff[i] : qoff[i + 1]])
+                for i in range(len(qoff) - 1)
+            ]
+    if seg is None:
+        keys, doc_ids, tfs, doc_start = synth_corpus_postings(
+            n_docs, vocab, avg_len
+        )
+        seg = build_sealed_segment_from_postings(
+            keys, doc_ids, tfs, n_docs, doc_grouped=True
+        )
+        queries = synth_queries_fast(keys, doc_start, seg, n_queries)
+    return seg, queries[:n_queries]
+
+
+def _timeit(run, n_iter=20):
+    import jax
+
+    jax.block_until_ready(run())  # compile + warm
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(n_iter):
+        r = run()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def roofline_dense(seg, queries, k=16):
+    """Device-only time of one flat-dense dispatch over the whole batch
+    (un-sub-batched: accumulator budget may split real dispatches; the
+    roofline wants the raw kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorchord_bm25_tpu.search.stream import (
+        StreamEngine,
+        _active_widths,
+        _jitted_stream_dense,
+    )
+    from vectorchord_bm25_tpu.utils.buckets import bucket_pow2 as _bucket
+
+    eng = StreamEngine(seg)
+    n_docs, qn = seg.n_docs, len(queries)
+    (wsrc_all, starts, sizes), _ = eng._win_lists(queries)
+    t = int(wsrc_all.size)
+    tb = _bucket(max(t, 1), 128)
+    wsrc = np.full(tb, eng._pad_win, np.int32)
+    wsrc[:t] = wsrc_all
+    wq = np.zeros(tb, np.int32)
+    wq[:t] = np.repeat(np.arange(qn, dtype=np.int32), sizes)
+    dw, tw = _active_widths(eng.stream.w_meta[wsrc_all])
+    n_qb = _bucket(qn, 8)
+    fm = jnp.ones(n_docs + 1, dtype=jnp.float32)
+    ws_d, wq_d = jnp.asarray(wsrc), jnp.asarray(wq)
+
+    def run():
+        return _jitted_stream_dense()(
+            eng.dev_words, eng.dev_doc_fn, eng.dev_s1,
+            eng.dev_w_off, eng.dev_w_base, eng.dev_w_meta, eng.dev_w_s0,
+            ws_d, wq_d, fm, k=k, n_docs=n_docs, n_q=n_qb,
+            dwidths=dw, twidths=tw,
+        )
+
+    dt = _timeit(run)
+    # Bytes touched (HBM side): packed word gather (doc words always; tf
+    # words when any tf width is nonzero), u16 fieldnorm gather per lane,
+    # accumulator memset + scatter read-modify-write, window metadata.
+    gather_b = tb * 128 * 4 * (2 if tw else 1)
+    fn_gather = tb * 128 * 2
+    acc_b = n_qb * (n_docs + 1) * 4 * 3
+    meta_b = tb * 14
+    total = gather_b + fn_gather + acc_b + meta_b
+    dev = jax.devices()[0].platform
+    print(
+        f"dense @ {seg.n_docs} [{dev}]: {dt * 1e3:.2f} ms/dispatch "
+        f"({qn} q, {t} windows) ~{total / 1e6:.0f} MB touched -> "
+        f"{total / dt / 1e9:.0f} GB/s ({qn / dt:.0f} QPS device-only)"
+    )
+    return dt
+
+
+def roofline_sparse(seg, queries, k=16):
+    """Device-only time of the sparse (sort-reduce) dispatch — the
+    multi-million-doc serving default (no [Q, N] accumulator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorchord_bm25_tpu.search.stream import (
+        StreamEngine,
+        _active_widths,
+        _jitted_stream_sparse,
+    )
+    from vectorchord_bm25_tpu.utils.buckets import bucket_pow2 as _bucket
+
+    eng = StreamEngine(seg, strategy="sparse")
+    n_docs, qn = seg.n_docs, len(queries)
+    lists, n_terms = eng._win_lists(queries)
+    sub = np.arange(qn, dtype=np.int64)
+    ids, src = eng._assemble(lists, sub)
+    dw, tw = _active_widths(eng.stream.w_meta[src])
+    mt = int(max(1, n_terms.max(initial=1)))
+    fm = jnp.ones(n_docs + 1, dtype=jnp.float32)
+    ids_d = jnp.asarray(ids)
+    kk = min(_bucket(k, 1), max(n_docs, 1))
+
+    def run():
+        return _jitted_stream_sparse()(
+            eng.dev_words, eng.dev_doc_fn, eng.dev_s1,
+            eng.dev_w_off, eng.dev_w_base, eng.dev_w_meta, eng.dev_w_s0,
+            ids_d, fm, k=kk, n_docs=n_docs,
+            seg_steps=int(mt - 1).bit_length(), dwidths=dw, twidths=tw,
+        )
+
+    dt = _timeit(run)
+    q, p_max = ids.shape
+    lanes = q * p_max * 128
+    # Gather + fieldnorm + the dominating [q, p*128] sort passes (the
+    # segmented sum and lexsort re-read the lane matrix ~2x log passes;
+    # count the 8 B (doc, score) pairs x 2 passes as a floor estimate).
+    gather_b = lanes * 4 * (2 if tw else 1)
+    fn_gather = lanes * 2
+    sort_b = lanes * 8 * 2
+    total = gather_b + fn_gather + sort_b
+    dev = jax.devices()[0].platform
+    print(
+        f"sparse @ {seg.n_docs} [{dev}]: {dt * 1e3:.2f} ms/dispatch "
+        f"({qn} q, [{q}, {p_max}] windows, {lanes / 1e6:.1f}M lanes) "
+        f"~{total / 1e6:.0f} MB touched -> {total / dt / 1e9:.0f} GB/s "
+        f"({qn / dt:.0f} QPS device-only)"
+    )
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, nargs="*", default=[131072, 1 << 20])
+    ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--sparse-queries", type=int, default=256)
+    ap.add_argument("--vocab", type=int, default=50000)
+    ap.add_argument("--avg-len", type=int, default=80)
+    ap.add_argument("--cache", default=None)
+    args = ap.parse_args()
+
+    from vectorchord_bm25_tpu.utils.backend import ensure_live_backend
+    from vectorchord_bm25_tpu.utils.compile_cache import enable_compile_cache
+
+    ensure_live_backend()
+    enable_compile_cache()
+
+    for n in args.docs:
+        seg, queries = _load_or_build(
+            n, args.vocab, args.avg_len, args.queries, args.cache
+        )
+        roofline_dense(seg, queries[: args.queries])
+        roofline_sparse(seg, queries[: args.sparse_queries])
+
+
+if __name__ == "__main__":
+    main()
