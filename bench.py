@@ -21,6 +21,15 @@ import time
 import numpy as np
 
 
+def _platform() -> str:
+    """The live backend platform, recorded in every JSON line so a
+    tunnel-outage CPU fallback is distinguishable from a real device
+    measurement."""
+    import jax
+
+    return jax.devices()[0].platform
+
+
 def synth_corpus(
     n_docs: int, vocab: int, avg_len: int, seed: int = 0, n_topics: int = 64
 ):
@@ -224,6 +233,7 @@ def run_dataset_bench(args) -> None:
                 "value": round(qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / baseline, 2),
+                "platform": _platform(),
                 **metrics,
                 "oracle_parity_mismatches": mismatches,
             }
@@ -285,6 +295,7 @@ def run_growing_bench(args, seg, engine, batches) -> None:
                 "value": round(growing_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(growing_qps / 28.38, 2),
+                "platform": _platform(),
                 "sealed_only_qps": round(sealed_qps, 2),
                 "growing_over_sealed": round(growing_qps / sealed_qps, 3),
             }
@@ -540,6 +551,7 @@ def main():
                 "value": round(best_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(best_qps / baseline, 2),
+                "platform": _platform(),
                 "device_bytes_per_posting": parity[
                     "device_bytes_per_posting"
                 ],
