@@ -186,7 +186,7 @@ def main(argv=None):
     p.add_argument(
         "--engine",
         choices=["exact", "blockmax", "hybrid", "stream"],
-        default="blockmax",
+        default="stream",
     )
     p.add_argument("--workers", type=int, default=1)
     p.set_defaults(fn=cmd_build)

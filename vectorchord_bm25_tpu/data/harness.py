@@ -31,7 +31,7 @@ __all__ = [
 
 def build_index(
     ds: BeirDataset,
-    engine: str = "hybrid",
+    engine: str = "stream",
     options: Optional[IndexOptions] = None,
     seed: Optional[bytes] = None,
     shards: Optional[int] = None,

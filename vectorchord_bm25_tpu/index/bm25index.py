@@ -104,7 +104,7 @@ class Bm25Index:
         seed: bytes,
         options: IndexOptions,
         search_options: Optional[SearchOptions] = None,
-        engine: str = "blockmax",
+        engine: str = "stream",
         engine_options: Optional[dict] = None,
     ):
         if engine not in ("exact", "blockmax", "hybrid", "stream"):
@@ -150,7 +150,7 @@ class Bm25Index:
         options: Optional[IndexOptions] = None,
         search_options: Optional[SearchOptions] = None,
         seed: Optional[bytes] = None,
-        engine: str = "blockmax",
+        engine: str = "stream",
         engine_options: Optional[dict] = None,
         reorder: str = "none",
         progress=None,

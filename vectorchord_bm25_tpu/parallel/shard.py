@@ -128,7 +128,7 @@ class ShardedIndex:
         options: IndexOptions,
         mesh=None,
         axis: str = "d",
-        engine: str = "exact",
+        engine: str = "stream",
         seed: Optional[bytes] = None,
         search_options: Optional[SearchOptions] = None,
         posting_mode: str = "impact",
@@ -244,7 +244,7 @@ class ShardedIndex:
         payloads: Optional[Sequence[int]] = None,
         options: Optional[IndexOptions] = None,
         mesh=None,
-        engine: str = "exact",
+        engine: str = "stream",
         seed: Optional[bytes] = None,
         device_build: Optional[bool] = None,
         posting_mode: str = "impact",
@@ -301,7 +301,7 @@ class ShardedIndex:
         payloads: Optional[Sequence[int]] = None,
         options: Optional[IndexOptions] = None,
         mesh=None,
-        engine: str = "exact",
+        engine: str = "stream",
         seed: Optional[bytes] = None,
         device_build: Optional[bool] = None,
         posting_mode: str = "impact",

@@ -369,14 +369,22 @@ class StreamEngine:
         accumulator_budget: int = 1 << 30,
         strategy: str = "auto",
         global_stats=None,
+        ms_exclude: float = 0.5,
     ):
         if strategy not in ("auto", "dense", "sparse", "maxscore"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if not 0.0 <= ms_exclude < 1.0:
+            raise ValueError("ms_exclude must be in [0, 1)")
         import jax
         import jax.numpy as jnp
 
         self.strategy = strategy
+        self.ms_exclude = float(ms_exclude)
         self._ms = None  # lazy impact-desc window order (MaxScore)
+        #: work profile of the last maxscore dispatch (None before one):
+        #: windows_total/windows_phase1, excluded_terms, fallback_queries
+        #: — platform-independent pruning-effectiveness metrics.
+        self.last_ms_stats = None
         self.segment = segment
         self.accumulator_budget = accumulator_budget
         self.stream = stream or build_stream_index(
@@ -506,36 +514,87 @@ class StreamEngine:
             self._ms = (order, si.w_maximp[order].astype(np.float64))
         return self._ms
 
-    def _maxscore_phase(self, queries, k, fm_dev, n_terms):
-        """Two-phase pruned exact top-k (strategy='maxscore').
+    #: Certification tiers for strategy='maxscore': (tau_frac,
+    #: pool_min, exclude_override).  Tier 1 is the cheap pass; queries
+    #: it cannot certify retry on tier 2 with a lower impact threshold
+    #: (smaller s_rem) and a deeper partial pool (smaller pool-
+    #: truncation bound) before the exhaustive fallback — still far
+    #: cheaper than scoring every posting for the retried queries.
+    MS_TIERS = ((0.5, 512, None), (0.25, 2048, 0.0))
 
-        Phase 1 scores only each term's highest-bound windows (bound >=
-        max-bound/2); any doc outside that prefix can add at most S =
-        Σ-per-term next-window bounds, so docs with partial + S below
-        the kth partial — and, when S < kth, every unseen doc — are
-        provably outside the top-k.  Phase 2 exact-rescores the
-        surviving candidates.  Queries whose bound bookkeeping cannot
-        certify the top-k (S >= kth partial, or candidates overflow the
-        pool) are returned for the exhaustive fallback.
+    def _maxscore_phase(self, queries, k, fm_dev, n_terms):
+        """Tiered two-phase pruned exact top-k (strategy='maxscore').
+
+        Each tier scores only each term's highest-bound windows
+        (bound >= tau_frac * max-bound); any doc outside that prefix
+        can add at most S = Σ-per-term next-window bounds, so after the
+        exact rescore of the surviving candidates, the kth exact score
+        certifies the result (see _ms_tier).  Queries a tier cannot
+        certify retry on the next (lower tau, deeper pool); queries no
+        tier certifies are returned for the exhaustive fallback.
 
         Returns (pending entries for finalize, fallback query indices).
+        """
+        qn = len(queries)
+        ids, qidx = batch_lookup(self.segment.lookup_tokens, queries)
+        if ids.size == 0:
+            return [], np.zeros(0, dtype=np.int64)
+        pending = []
+        active = np.arange(qn, dtype=np.int64)
+        tiers = []
+        for tau_frac, pool_min, excl_over in self.MS_TIERS:
+            if active.size == qn:
+                t_ids, t_qidx, t_n = ids, qidx, n_terms
+            else:
+                amask = np.zeros(qn, dtype=bool)
+                amask[active] = True
+                sel = amask[qidx]
+                remap = np.full(qn, -1, dtype=np.int64)
+                remap[active] = np.arange(active.size)
+                t_ids = ids[sel]
+                t_qidx = remap[qidx[sel]]
+                t_n = n_terms[active]
+            tier_pending, tier_fb, tstats = self._ms_tier(
+                t_ids, t_qidx, active.size, k, fm_dev, t_n,
+                tau_frac, pool_min,
+                self.ms_exclude if excl_over is None else excl_over,
+            )
+            for qs_local, data in tier_pending:
+                pending.append((active[qs_local], data))
+            tiers.append(tstats)
+            active = active[tier_fb]
+            if active.size == 0:
+                break
+        self.last_ms_stats = {
+            "queries": qn,
+            "tiers": tiers,
+            "fallback_queries": int(active.size),
+        }
+        return pending, active
+
+    def _ms_tier(
+        self, ids, qidx, qn, k, fm_dev, n_terms, tau_frac, pool_min,
+        exclude_frac,
+    ):
+        """One MaxScore certification tier over a query subset (local
+        indices 0..qn): phase-1 prefix scoring, candidate selection,
+        exact rescore, exact-theta certification.
+
+        Returns (pending entries in local indices, local fallback
+        indices, stats dict).
         """
         import jax.numpy as jnp
 
         si = self.stream
         n_docs = self.n_docs
-        qn = len(queries)
         order, bounds = self._maxscore_tables()
         tws = si.token_w_start
-        ids, qidx = batch_lookup(self.segment.lookup_tokens, queries)
-        if ids.size == 0:
-            return [], np.zeros(0, dtype=np.int64)
         lo = tws[ids].astype(np.int64)
         hi = tws[ids + 1].astype(np.int64)
 
         maxb = np.zeros(qn, dtype=np.float64)
         np.maximum.at(maxb, qidx, bounds[lo])
-        tau = (maxb / 2.0)[qidx]
+        tau = (maxb * tau_frac)[qidx]
         # Count of (descending) bounds >= tau in each [lo, hi) span.
         l, r = lo.copy(), hi.copy()
         for _ in range(int(np.max(hi - lo, initial=1)).bit_length() + 1):
@@ -546,6 +605,30 @@ class StreamEngine:
             l = np.where(go, m + 1, l)
             r = np.where(go, r, m)
         cut = l - lo
+        # Term-level exclusion (the MaxScore essential-set rule): window
+        # maxima within a common term are nearly flat on Zipf corpora,
+        # so the tau prefix is all-or-nothing there — the only lever
+        # that skips a common term's (huge) posting span in phase 1 is
+        # dropping the WHOLE term.  Per query, exclude terms ascending
+        # by term bound while the inclusive excluded mass stays under
+        # ms_exclude * maxb; the certification below (s_rem < theta)
+        # keeps the result exact — a doc seen only in excluded terms
+        # scores at most s_rem — and excluded terms still contribute
+        # exactly in the candidate rescore (search.rs:151-280's skip
+        # machinery actually skipping the common-term lists).
+        excl = np.zeros(qidx.size, dtype=bool)
+        if exclude_frac > 0.0:
+            tb = bounds[lo]
+            t_order = np.lexsort((tb, qidx))
+            tb_s = tb[t_order]
+            q_s = qidx[t_order]
+            cg = np.concatenate(([0.0], np.cumsum(tb_s)))
+            qstart_s = np.concatenate(
+                ([0], np.cumsum(np.bincount(q_s, minlength=qn)))
+            )
+            incl = cg[1:] - cg[qstart_s[q_s]]
+            excl[t_order] = incl < exclude_frac * maxb[q_s]
+            cut = np.where(excl, 0, cut)
         rem = np.where(
             cut < hi - lo,
             bounds[np.minimum(lo + cut, bounds.size - 1)],
@@ -553,6 +636,14 @@ class StreamEngine:
         )
         s_rem = np.zeros(qn, dtype=np.float64)
         np.add.at(s_rem, qidx, rem)
+        stats = {
+            "queries": qn,
+            "tau_frac": tau_frac,
+            "windows_total": int((hi - lo).sum()),
+            "windows_phase1": int(cut.sum()),
+            "excluded_terms": int(excl.sum()),
+            "terms": int(qidx.size),
+        }
 
         # Phase 1: the prefix windows through the sparse reduction with
         # a C-wide result pool.
@@ -561,7 +652,13 @@ class StreamEngine:
         sizes = np.bincount(q_of, minlength=qn).astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(sizes)))
         lists = (wsrc, starts, sizes)
-        c_pool = int(min(_bucket(max(2 * k, 128), 1), 2048))
+        # Pool depth is the certification lever: the pool-truncation
+        # bound (last + s_rem < kth_exact) is what fails on heavy
+        # queries when the pool is shallow — 128 deep, 83/128 heavy
+        # queries fell back; the kept-partial floor `last` drops fast
+        # with depth on Zipf partials.  [Q, c_pool] transfer + the
+        # wider device sort are cheap next to window scoring.
+        c_pool = int(min(_bucket(max(16 * k, pool_min), 1), 4096))
         p1 = []
         p_bucket = max(1, _bucket(int(sizes.max(initial=1)), 8))
         lane_cap = max(1, (1 << 26) // (p_bucket * 128))
@@ -594,15 +691,19 @@ class StreamEngine:
 
         theta = sp[:, k - 1].astype(np.float64)
         last = sp[:, -1].astype(np.float64)
-        overflow = (
-            ~np.isfinite(theta)
-            | (s_rem >= theta)
-            | (np.isfinite(last) & (last + s_rem >= theta))
-        )
-        ok = np.flatnonzero(~overflow)
-        fallback = np.flatnonzero(overflow)
+        # Queries with fewer than k finite partials cannot form a
+        # selection threshold; everything else proceeds to the rescore,
+        # and the safety certification happens AFTER it against the kth
+        # EXACT score (see below) — certifying against the partial
+        # theta forced 60-75% of common-term-heavy queries into the
+        # exhaustive fallback, because partials lack exactly the
+        # common-term mass that s_rem charges for.
+        hopeless = ~np.isfinite(theta)
+        ok = np.flatnonzero(~hopeless)
+        fallback = np.flatnonzero(hopeless)
+        stats["fallback_queries"] = int(fallback.size)
         if ok.size == 0:
-            return [], fallback
+            return [], fallback, stats
 
         # Candidates: partial + S could reach the kth partial (a few
         # f32 ulps of slack keep the set a superset under rounding).
@@ -643,7 +744,8 @@ class StreamEngine:
         t_hi[row[qidx[selp]], tpos[selp]] = hi[selp]
         bs_steps = int(np.max(hi - lo, initial=1)).bit_length() + 1
 
-        pending = []
+        stats["candidate_pad"] = int(c_pad)
+        outs = []
         lane_cap2 = max(1, (1 << 26) // (tmax * c_pad * 128))
         for i0 in range(0, ok.size, lane_cap2):
             s2 = slice(i0, min(ok.size, i0 + lane_cap2))
@@ -657,8 +759,43 @@ class StreamEngine:
                 fm_dev,
                 k=k, n_docs=n_docs, bs_steps=bs_steps,
             )
-            pending.append((ok[s2], out))
-        return pending, fallback
+            outs.append((s2, out))
+        res_s = np.full((ok.size, k), -np.inf, dtype=np.float32)
+        res_i = np.zeros((ok.size, k), dtype=np.int64)
+        for s2, (s_d, i_d) in outs:
+            res_s[s2] = np.asarray(s_d)[:, :k]
+            res_i[s2] = np.asarray(i_d, dtype=np.int64)[:, :k]
+
+        # Exact-theta certification: the k rescored docs exist with
+        # these exact scores, so kth_exact is a valid lower bound on
+        # the true kth score — and unlike the partial theta it includes
+        # the excluded/tail terms' contributions.  A doc never seen in
+        # phase 1 scores at most s_rem; a doc that fell out of the
+        # phase-1 pool scores at most last + s_rem; unselected pool
+        # docs had partial + s_rem < theta <= kth_exact.  A few f32
+        # ulps of slack keep the comparison conservative.
+        kth_exact = res_s[:, k - 1].astype(np.float64)
+        eps = 4.0 * np.spacing(
+            np.abs(kth_exact).astype(np.float32)
+        ).astype(np.float64)
+        fail_unseen = ~np.isfinite(kth_exact) | (
+            s_rem[ok] >= kth_exact - eps
+        )
+        fail_pool = np.isfinite(last[ok]) & (
+            last[ok] + s_rem[ok] >= kth_exact - eps
+        )
+        stats["cert_fail_unseen"] = int(fail_unseen.sum())
+        stats["cert_fail_pool"] = int((fail_pool & ~fail_unseen).sum())
+        safe = ~(fail_unseen | fail_pool)
+        certified = np.flatnonzero(safe)
+        fallback = np.concatenate([fallback, ok[np.flatnonzero(~safe)]])
+        stats["fallback_queries"] = int(fallback.size)
+        pending = []
+        if certified.size:
+            pending.append(
+                (ok[certified], (res_s[certified], res_i[certified]))
+            )
+        return pending, fallback, stats
 
     def search_async(
         self,
