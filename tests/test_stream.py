@@ -257,6 +257,49 @@ class TestMaxScore:
         s_e, i_e, _ = ex.search(queries, 10, filter_mask=fmask)
         assert np.array_equal(i_m, i_e)
 
+    def test_tiered_certification_on_common_term_queries(self, rng):
+        """Queries mixing very common terms (huge posting lists, flat
+        window maxima) with selective ones are the reference's WAND
+        worst case (search.rs:151-280).  The tiered certification
+        (MS_TIERS) must certify nearly all of them — scoring a small
+        fraction of the matched windows — instead of falling back to
+        the exhaustive path, and results must match the oracle."""
+        from bench import synth_corpus_postings
+
+        n = 65536
+        keys, doc_ids, tfs, _ = synth_corpus_postings(n, 20000, 60)
+        seg = build_sealed_segment_from_postings(
+            keys, doc_ids, tfs, n, doc_grouped=True
+        )
+        # 2 common (Zipf head) + 2 mid/tail terms per query.
+        queries = [
+            Query.from_int_ids(
+                np.unique(
+                    np.concatenate(
+                        [
+                            rng.integers(0, 16, size=1),
+                            rng.integers(16, 200, size=1),
+                            rng.integers(200, 20000, size=2),
+                        ]
+                    )
+                ).tolist()
+            )
+            for _ in range(32)
+        ]
+        ms = StreamEngine(seg, strategy="maxscore")
+        ex = StreamEngine(seg, strategy="sparse")
+        s_m, i_m, _ = ms.search(queries, 10)
+        s_e, i_e, _ = ex.search(queries, 10)
+        assert np.array_equal(i_m, i_e)
+        st = ms.last_ms_stats
+        assert st["fallback_queries"] <= 2, st
+        t1 = st["tiers"][0]
+        # Tier 1 must prune hard (common-term spans skipped).
+        assert t1["windows_phase1"] < 0.3 * t1["windows_total"], t1
+        # The retry tier (when any query needed it) also prunes.
+        for t in st["tiers"][1:]:
+            assert t["windows_phase1"] <= 0.6 * t["windows_total"], t
+
     def test_k_above_pool_falls_back(self, rng):
         # k > 128 routes every query through the exhaustive path.
         seg = random_segment(rng, 600, 40, 200, tf_hi=3)
