@@ -300,6 +300,29 @@ class TestMaxScore:
         for t in st["tiers"][1:]:
             assert t["windows_phase1"] <= 0.6 * t["windows_total"], t
 
+    def test_auto_routes_through_maxscore_at_scale(self, rng, monkeypatch):
+        """strategy='auto' serves the pruned MaxScore path once the
+        corpus crosses SPARSE_MIN_DOCS (certification falls back to
+        sparse per query, so results stay oracle-exact)."""
+        seg = random_segment(rng, 3000, 80, 9000, tf_hi=5)
+        queries = [
+            Query.from_int_ids(rng.integers(0, 80, size=3).tolist())
+            for _ in range(16)
+        ]
+        monkeypatch.setattr(StreamEngine, "SPARSE_MIN_DOCS", 1000)
+        auto = StreamEngine(seg, strategy="auto")
+        s_a, i_a, _ = auto.search(queries, 10)
+        assert auto.last_ms_stats is not None  # pruned path ran
+        ex = StreamEngine(seg, strategy="sparse")
+        s_e, i_e, _ = ex.search(queries, 10)
+        assert np.array_equal(i_a, i_e)
+        # k > 128 still serves exhaustively (no pruned-path stats).
+        auto2 = StreamEngine(seg, strategy="auto")
+        s_a2, i_a2, _ = auto2.search(queries, 200)
+        assert auto2.last_ms_stats is None
+        s_e2, i_e2, _ = ex.search(queries, 200)
+        assert np.array_equal(i_a2, i_e2)
+
     def test_k_above_pool_falls_back(self, rng):
         # k > 128 routes every query through the exhaustive path.
         seg = random_segment(rng, 600, 40, 200, tf_hi=3)

@@ -813,10 +813,22 @@ class StreamEngine:
         queries = list(queries)
         qn = len(queries)
         n_docs = self.n_docs
-        use_maxscore = self.strategy == "maxscore" and k <= 128
+        # At multi-million-doc scale 'auto' serves through the pruned
+        # MaxScore path: certification is per-query with a sparse
+        # fallback, so it is a strict work reduction over the
+        # exhaustive sparse scan (the tiered retry certifies ~all
+        # queries scoring a small fraction of their matched windows,
+        # and the dispatch payload shrinks with the scored windows —
+        # see DESIGN.md).  k > 128 exceeds the partial-pool design and
+        # serves exhaustively.
+        at_scale = n_docs >= self.SPARSE_MIN_DOCS
+        use_maxscore = k <= 128 and (
+            self.strategy == "maxscore"
+            or (self.strategy == "auto" and at_scale)
+        )
         use_sparse = not use_maxscore and (
             self.strategy in ("sparse", "maxscore")
-            or (self.strategy == "auto" and n_docs >= self.SPARSE_MIN_DOCS)
+            or (self.strategy == "auto" and at_scale)
         )
 
         if filter_mask is not None:
