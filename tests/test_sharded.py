@@ -226,6 +226,71 @@ class TestShardedIndex:
                 i2[qi][i2[qi] >= 0], s_ids[qi][s_ids[qi] >= 0]
             )
 
+    def test_stream_maxscore_matches_dense_on_mesh(self, rng, mesh8):
+        """strategy='maxscore' over the mesh: per-shard pruned search
+        with tiered certification must rank exactly like the exhaustive
+        sharded scan, including deletes, prefilter, and common-term
+        (Zipf head) queries; certified shards must skip windows."""
+        from bench import synth_corpus_postings
+
+        n = 16384
+        keys, doc_ids, tfs, doc_start = synth_corpus_postings(
+            n, 8000, 50
+        )
+        kwargs = dict(mesh=mesh8, engine="stream", device_build=False)
+        ms = ShardedIndex.build_from_postings(
+            keys, doc_ids, tfs, doc_start, 8,
+            strategy="maxscore", **kwargs,
+        )
+        ex = ShardedIndex.build_from_postings(
+            keys, doc_ids, tfs, doc_start, 8,
+            strategy="dense", **kwargs,
+        )
+        queries = [
+            Query.from_int_ids(
+                np.unique(
+                    np.concatenate(
+                        [
+                            rng.integers(0, 12, size=1),
+                            rng.integers(12, 150, size=1),
+                            rng.integers(150, 8000, size=2),
+                        ]
+                    )
+                ).tolist()
+            )
+            for _ in range(24)
+        ]
+        for k in (1, 10):
+            s_m, i_m, _ = ms.search(queries, k)
+            s_e, i_e, _ = ex.search(queries, k)
+            np.testing.assert_array_equal(i_m, i_e)
+            f = np.isfinite(s_m)
+            np.testing.assert_allclose(s_m[f], s_e[f], rtol=2e-6)
+        st = ms.last_ms_stats
+        assert st is not None and st["tiers"], st
+        assert st["tiers"][0]["pairs_certified"] > 0, st
+        # Deletes + prefilter keep the certification conservative.
+        deleted = rng.random(n) < 0.4
+        ms.set_deleted(deleted)
+        ex.set_deleted(deleted)
+        keep = rng.random(n) < 0.5
+        fil = lambda pl: keep[pl]
+        s_m, i_m, _ = ms.search(queries, 10, filter_fn=fil)
+        s_e, i_e, _ = ex.search(queries, 10, filter_fn=fil)
+        np.testing.assert_array_equal(i_m, i_e)
+        # Checkpoint round-trips the strategy.
+        import tempfile
+
+        from vectorchord_bm25_tpu.index.storage import (
+            load_sharded_index,
+            save_sharded_index,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            save_sharded_index(ms, td)
+            back = load_sharded_index(td, mesh=mesh8)
+            assert back.strategy == "maxscore"
+
     def test_uniform_range_size_across_shards(self, rng, mesh8, monkeypatch):
         # Regression: the stacked kernels decode doc = range*rs + local
         # with ONE rs; shards straddling the scale-aware default's

@@ -549,6 +549,7 @@ def save_sharded_index(index, directory: str) -> None:
                 "axis": index.axis,
                 "posting_mode": index.posting_mode,
                 "memory_mode": index.memory_mode,
+                "strategy": index.strategy,
                 "n_shards": index.n_shards,
                 "shards": [
                     {
@@ -625,6 +626,7 @@ def load_sharded_index(directory: str, mesh=None):
         engine=meta.get("engine", "exact"),
         posting_mode=meta.get("posting_mode", "impact"),
         memory_mode=meta.get("memory_mode", "fast"),
+        strategy=meta.get("strategy", "auto"),
         seed=base64.b64decode(meta["seed"]),
         search_options=SearchOptions(**meta["search_options"]),
     )

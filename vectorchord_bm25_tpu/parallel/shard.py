@@ -133,9 +133,18 @@ class ShardedIndex:
         search_options: Optional[SearchOptions] = None,
         posting_mode: str = "impact",
         memory_mode: str = "fast",
+        strategy: str = "auto",
     ):
         if engine not in ("exact", "blockmax", "hybrid", "stream"):
             raise ValueError(f"unknown engine {engine!r}")
+        if strategy not in ("auto", "dense", "maxscore"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        # Stream-engine reduction strategy over the mesh: "dense" is the
+        # flat scatter-add path; "maxscore" prunes per shard with tiered
+        # exactness certification (each shard certifies its local top-k
+        # independently — doc-sharding keeps every doc's score within
+        # one shard); "auto" routes like the single-chip StreamEngine.
+        self.strategy = strategy
         if memory_mode not in ("fast", "compact"):
             raise ValueError(f"unknown memory_mode {memory_mode!r}")
         # "fast": the hybrid's dense strategy reads posting-aligned flat
@@ -144,6 +153,9 @@ class ShardedIndex:
         # selective terms gather up to range_size lanes/posting — see
         # DESIGN.md's measured 25x collapse).
         self.memory_mode = memory_mode
+        #: work profile of the last sharded maxscore dispatch (None
+        #: before one) — same shape as StreamEngine.last_ms_stats.
+        self.last_ms_stats = None
         if posting_mode not in ("impact", "tf"):
             raise ValueError(f"unknown posting_mode {posting_mode!r}")
         if posting_mode == "tf" and engine != "blockmax":
@@ -248,6 +260,7 @@ class ShardedIndex:
         seed: Optional[bytes] = None,
         device_build: Optional[bool] = None,
         posting_mode: str = "impact",
+        strategy: str = "auto",
     ) -> "ShardedIndex":
         """Data-parallel build: contiguous corpus shards, offset-rebased
         doc ids (io.rs:244-282 analog).
@@ -287,7 +300,7 @@ class ShardedIndex:
                 )
         return cls(
             shards, options, mesh=mesh, engine=engine, seed=seed,
-            posting_mode=posting_mode,
+            posting_mode=posting_mode, strategy=strategy,
         )
 
     @classmethod
@@ -305,6 +318,7 @@ class ShardedIndex:
         seed: Optional[bytes] = None,
         device_build: Optional[bool] = None,
         posting_mode: str = "impact",
+        strategy: str = "auto",
     ) -> "ShardedIndex":
         """`build` for flat doc-grouped postings (keys [P] |S16, doc_ids
         [P] ascending, tfs [P], doc_start [N+1] CSR) — the scale path
@@ -347,7 +361,7 @@ class ShardedIndex:
                 )
         return cls(
             shards, options, mesh=mesh, engine=engine, seed=seed,
-            posting_mode=posting_mode,
+            posting_mode=posting_mode, strategy=strategy,
         )
 
     # ------------------------------------------------------------------
@@ -913,6 +927,375 @@ class ShardedIndex:
             scores[q0:q1] = np.asarray(s)[:nq, :kk]
             gids[q0:q1] = np.asarray(i)[:nq, :kk]
         return scores[:, :k], gids[:, :k]
+
+    # ------------------------------------------------------------------
+    def _ms_shard_tables(self):
+        """Per-shard impact-descending window order + (f64) bounds —
+        the sharded analog of StreamEngine._maxscore_tables."""
+        if getattr(self, "_ms_tables", None) is None:
+            tabs = []
+            for st in self._streams:
+                order = np.lexsort((-st.w_maximp, st.w_token)).astype(
+                    np.int64
+                )
+                tabs.append(
+                    (order, st.w_maximp[order].astype(np.float64))
+                )
+            self._ms_tables = tabs
+        return self._ms_tables
+
+    def _build_stream_ms_pool_fn(self, c_pool, seg_steps, dw, tw):
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..search.stream import _stream_sparse
+
+        axis = self.axis
+        nmax = self._nmax
+
+        def local(
+            words, doc_fn, w_off, w_base, w_meta, w_s0,
+            doc_live, fmask, wsrc_s, s1,
+        ):
+            s, i = _stream_sparse(
+                words[0], doc_fn[0], s1,
+                w_off[0], w_base[0], w_meta[0], w_s0[0],
+                wsrc_s[0], doc_live[0] * fmask[0],
+                k=c_pool, n_docs=nmax, seg_steps=seg_steps,
+                dwidths=dw, twidths=tw,
+            )
+            return s[None], i[None]
+
+        fn = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=tuple(P(axis) for _ in range(9)) + (P(),),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_stream_ms_rescore_fn(self, k, bs_steps, dw, tw):
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..search.stream import _stream_rescore
+
+        axis = self.axis
+        nmax = self._nmax
+
+        def local(
+            words, doc_fn, w_off, w_base, w_meta, w_s0,
+            doc_live, fmask, cand_s, t_lo_s, t_hi_s, s1,
+        ):
+            s, i = _stream_rescore(
+                words[0], doc_fn[0], s1,
+                w_off[0], w_base[0], w_meta[0], w_s0[0],
+                cand_s[0], t_lo_s[0], t_hi_s[0],
+                doc_live[0] * fmask[0],
+                k=k, n_docs=nmax, bs_steps=bs_steps,
+                dwidths=dw, twidths=tw,
+            )
+            return s[None], i[None]
+
+        fn = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=tuple(P(axis) for _ in range(11)) + (P(),),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _search_stream_ms(self, queries: Sequence[Query], k: int, fmask_dev):
+        """Pruned sharded search (strategy='maxscore'): per-shard
+        MaxScore with tiered exactness certification.
+
+        Doc-sharding keeps every document's full score within one
+        shard, so the problem decomposes: each shard certifies its
+        LOCAL top-k independently (same tiers/bounds as the single-chip
+        StreamEngine._ms_tier), the certified per-shard top-ks merge by
+        (score desc, id asc), and any query with an uncertified shard
+        falls back to the exhaustive sharded scan (_search_stream).
+        Sharding makes small-df queries fall back more often than on a
+        single chip (a shard may hold < k matching docs, so its partial
+        pool can't form a threshold) — unless the shard scored ALL its
+        matched windows, in which case its pool is exact and certifies
+        trivially (the common case for selective queries)."""
+        import jax.numpy as jnp
+
+        from ..search.stream import (
+            StreamEngine,
+            _active_widths,
+            _ms_certify,
+            _ms_prefix_prep,
+        )
+        from ..utils.batchkeys import batch_lookup, group_positions
+
+        qn = len(queries)
+        d = self.n_shards
+        nmax = self._nmax
+        scores_out = np.full((qn, k), -np.inf, dtype=np.float32)
+        gids_out = np.full((qn, k), _INT_MAX, dtype=np.int64)
+        g_all, q_all = batch_lookup(self.lookup_tokens, queries)
+        if g_all.size == 0:
+            return scores_out, gids_out
+
+        tabs = self._ms_shard_tables()
+        shard_terms = []
+        for view in self.views:
+            lids = view.local_tid[g_all]
+            ok = lids >= 0
+            shard_terms.append((lids[ok], q_all[ok]))
+        doc_offsets = np.array(
+            [v.doc_offset for v in self.views], dtype=np.int64
+        )
+
+        res_s = np.full((d, qn, k), -np.inf, dtype=np.float32)
+        res_i = np.zeros((d, qn, k), dtype=np.int64)
+        cert = np.zeros((d, qn), dtype=bool)
+        active = np.arange(qn, dtype=np.int64)
+        tiers_stats = []
+        for tau_frac, pool_min, _ in StreamEngine.MS_TIERS:
+            a = active.size
+            remap = np.full(qn, -1, dtype=np.int64)
+            remap[active] = np.arange(a)
+            c_pool = int(min(_bucket(max(16 * k, pool_min), 1), 4096))
+
+            # Host prep per shard: impact-ordered prefix + spans.
+            preps = []
+            p_needed, t_needed, span_max, terms_max = 1, 1, 1, 1
+            for si in range(d):
+                lids, qs = shard_terms[si]
+                sel = remap[qs] >= 0
+                lids_a, qidx_a = lids[sel], remap[qs[sel]]
+                order, bounds = tabs[si]
+                tws = self._streams[si].token_w_start
+                lo, hi, cut, s_rem, _ = _ms_prefix_prep(
+                    order, bounds, tws, lids_a, qidx_a, a,
+                    tau_frac, 0.0,
+                )
+                wsrc = order[
+                    np.repeat(lo, cut) + group_positions(cut)
+                ].astype(np.int64)
+                q_of = np.repeat(qidx_a, cut)
+                sizes = np.bincount(q_of, minlength=a).astype(np.int64)
+                nt = np.bincount(qidx_a, minlength=a).astype(np.int64)
+                preps.append(
+                    dict(
+                        qidx=qidx_a, lo=lo, hi=hi, s_rem=s_rem,
+                        wsrc=wsrc, q_of=q_of, sizes=sizes, n_terms=nt,
+                    )
+                )
+                p_needed = max(p_needed, int(sizes.max(initial=1)))
+                t_needed = max(t_needed, int(nt.max(initial=1)))
+                span_max = max(span_max, int(np.max(hi - lo, initial=1)))
+            p_b = _bucket(p_needed, 8)
+            tmax = int(_bucket(t_needed, 2))
+            seg_steps = int(t_needed - 1).bit_length()
+            bs_steps = span_max.bit_length() + 1
+
+            # Phase 1: per-shard prefix pools, chunked by lane budget.
+            wmat = np.full((d, a, p_b), self._swmax, dtype=np.int32)
+            metas = []
+            for si, pr in enumerate(preps):
+                if pr["wsrc"].size:
+                    pos = group_positions(pr["sizes"])
+                    wmat[si, pr["q_of"], pos] = pr["wsrc"]
+                    metas.append(self._streams[si].w_meta[pr["wsrc"]])
+            dw, tw = _active_widths(
+                np.concatenate(metas)
+                if metas
+                else np.zeros(1, dtype=np.int32)
+            )
+            sp = np.full((d, a, c_pool), -np.inf, dtype=np.float32)
+            ip = np.full((d, a, c_pool), nmax, dtype=np.int64)
+            a_cap = max(1, (1 << 26) // (p_b * 128))
+            for a0 in range(0, a, a_cap):
+                a1 = min(a, a0 + a_cap)
+                ab = _bucket(a1 - a0, 8)
+                sub = np.full(
+                    (d, ab, p_b), self._swmax, dtype=np.int32
+                )
+                sub[:, : a1 - a0] = wmat[:, a0:a1]
+                fn = self._cached_fn(
+                    ("stream_ms_pool", c_pool, ab, p_b, seg_steps,
+                     dw, tw),
+                    lambda: self._build_stream_ms_pool_fn(
+                        c_pool, seg_steps, dw, tw
+                    ),
+                )
+                s, i = fn(
+                    self.dev_st_words, self.dev_st_doc_fn,
+                    self.dev_st_w_off, self.dev_st_w_base,
+                    self.dev_st_w_meta, self.dev_st_w_s0,
+                    self.dev_doc_live, fmask_dev,
+                    self._shard_put(sub), self.dev_s1,
+                )
+                s = np.asarray(s)[:, : a1 - a0]
+                i = np.asarray(i, dtype=np.int64)[:, : a1 - a0]
+                sp[:, a0:a1] = s
+                ip[:, a0:a1] = np.where(np.isfinite(s), i, nmax)
+
+            theta = sp[:, :, k - 1].astype(np.float64)  # [d, a]
+            last = sp[:, :, -1].astype(np.float64)
+            s_rem = np.stack([pr["s_rem"] for pr in preps])  # [d, a]
+            n_fin = np.isfinite(sp).sum(axis=2)
+            # Fully-scored pairs: every matched window was in the
+            # prefix and the pool didn't overflow — pool scores are the
+            # exact complete scores for every matching doc.
+            trivial = (s_rem == 0.0) & (n_fin < c_pool)
+            hopeless = ~np.isfinite(theta) & ~trivial
+
+            # Candidates: pool entries that could reach the kth.
+            th_pad = theta - 4.0 * np.spacing(
+                np.abs(theta).astype(np.float32)
+            ).astype(np.float64)
+            mask = (
+                np.isfinite(sp)
+                & (sp.astype(np.float64) + s_rem[:, :, None]
+                   >= th_pad[:, :, None])
+                & ~(trivial | hopeless)[:, :, None]
+            )
+            cand_ids = np.where(mask, ip, nmax)
+            cand_ids.sort(axis=2)
+            c_pad = int(
+                _bucket(max(int(mask.sum(2).max(initial=1)), k), 16)
+            )
+            cand = cand_ids[:, :, :c_pad].astype(np.int32)
+            if c_pad > cand_ids.shape[2]:
+                cand = np.pad(
+                    cand_ids,
+                    ((0, 0), (0, 0), (0, c_pad - cand_ids.shape[2])),
+                    constant_values=nmax,
+                ).astype(np.int32)
+
+            # Per-(shard, query, term) doc-ascending window spans for
+            # the rescore's binary search.
+            t_lo = np.zeros((d, a, tmax), dtype=np.int32)
+            t_hi = np.zeros((d, a, tmax), dtype=np.int32)
+            for si, pr in enumerate(preps):
+                qidx_a = pr["qidx"]
+                if qidx_a.size:
+                    qstart = np.concatenate(
+                        ([0], np.cumsum(pr["n_terms"]))
+                    )
+                    tpos = (
+                        np.arange(qidx_a.size, dtype=np.int64)
+                        - qstart[qidx_a]
+                    )
+                    t_lo[si, qidx_a, tpos] = pr["lo"]
+                    t_hi[si, qidx_a, tpos] = pr["hi"]
+
+            rs = np.full((d, a, k), -np.inf, dtype=np.float32)
+            ri = np.zeros((d, a, k), dtype=np.int64)
+            a_cap2 = max(1, (1 << 26) // (tmax * c_pad * 128))
+            for a0 in range(0, a, a_cap2):
+                a1 = min(a, a0 + a_cap2)
+                ab = _bucket(a1 - a0, 8)
+                c_s = np.full((d, ab, c_pad), nmax, dtype=np.int32)
+                tl = np.zeros((d, ab, tmax), dtype=np.int32)
+                th = np.zeros((d, ab, tmax), dtype=np.int32)
+                c_s[:, : a1 - a0] = cand[:, a0:a1]
+                tl[:, : a1 - a0] = t_lo[:, a0:a1]
+                th[:, : a1 - a0] = t_hi[:, a0:a1]
+                fn = self._cached_fn(
+                    ("stream_ms_res", k, ab, c_pad, tmax, bs_steps,
+                     dw, tw),
+                    lambda: self._build_stream_ms_rescore_fn(
+                        k, bs_steps, dw, tw
+                    ),
+                )
+                s, i = fn(
+                    self.dev_st_words, self.dev_st_doc_fn,
+                    self.dev_st_w_off, self.dev_st_w_base,
+                    self.dev_st_w_meta, self.dev_st_w_s0,
+                    self.dev_doc_live, fmask_dev,
+                    self._shard_put(c_s), self._shard_put(tl),
+                    self._shard_put(th), self.dev_s1,
+                )
+                rs[:, a0:a1] = np.asarray(s)[:, : a1 - a0, :k]
+                ri[:, a0:a1] = np.asarray(i, dtype=np.int64)[
+                    :, : a1 - a0, :k
+                ]
+
+            kth_exact = rs[:, :, k - 1].astype(np.float64)
+            f_unseen, f_pool = _ms_certify(
+                kth_exact.reshape(-1),
+                last.reshape(-1),
+                s_rem.reshape(-1),
+            )
+            pair_ok = trivial | (
+                ~hopeless
+                & ~(f_unseen | f_pool).reshape(d, a)
+            )
+            tiers_stats.append(
+                {
+                    "queries": int(a),
+                    "tau_frac": tau_frac,
+                    "windows_phase1": int(
+                        sum(pr["sizes"].sum() for pr in preps)
+                    ),
+                    "pairs_trivial": int(trivial.sum()),
+                    "pairs_certified": int(pair_ok.sum()),
+                    "pairs": int(d * a),
+                }
+            )
+
+            # Record certified pair results (trivial pairs: the pool's
+            # top-k IS exact and already (score desc, id asc)-ranked).
+            for si in range(d):
+                tq = np.flatnonzero(trivial[si])
+                if tq.size:
+                    res_s[si, active[tq]] = sp[si, tq, :k]
+                    res_i[si, active[tq]] = ip[si, tq, :k]
+                rq = np.flatnonzero(pair_ok[si] & ~trivial[si])
+                if rq.size:
+                    res_s[si, active[rq]] = rs[si, rq]
+                    res_i[si, active[rq]] = ri[si, rq]
+                cert[si, active[pair_ok[si]]] = True
+
+            q_ok = pair_ok.all(axis=0)
+            active = active[~q_ok]
+            if active.size == 0:
+                break
+
+        self.last_ms_stats = {
+            "queries": qn,
+            "tiers": tiers_stats,
+            "fallback_queries": int(active.size),
+        }
+
+        # Merge certified queries' per-shard top-ks host-side.
+        done = np.setdiff1d(
+            np.arange(qn, dtype=np.int64), active, assume_unique=False
+        )
+        if done.size:
+            s_all = res_s[:, done].transpose(1, 0, 2).reshape(
+                done.size, d * k
+            )
+            i_loc = res_i[:, done].transpose(1, 0, 2).reshape(
+                done.size, d * k
+            )
+            g_ids = i_loc + np.repeat(doc_offsets, k)[None, :]
+            fin = np.isfinite(s_all)
+            g_ids = np.where(fin, g_ids, _INT_MAX)
+            ordm = np.lexsort(
+                (g_ids, -s_all.astype(np.float64)), axis=1
+            )[:, :k]
+            scores_out[done] = np.take_along_axis(s_all, ordm, axis=1)
+            gids_out[done] = np.take_along_axis(g_ids, ordm, axis=1)
+
+        # Exhaustive fallback for queries any shard failed to certify.
+        if active.size:
+            fs, fi = self._search_stream(
+                [queries[int(j)] for j in active], k, fmask_dev
+            )
+            scores_out[active] = np.asarray(fs)[:, :k]
+            gids_out[active] = np.asarray(fi)[:, :k]
+        return scores_out, gids_out
 
     # ------------------------------------------------------------------
     def _upload_blockmax(self):
@@ -1519,6 +1902,17 @@ class ShardedIndex:
         if self.engine == "blockmax":
             return self._search_blockmax(queries, k, fmask_dev)
         if self.engine == "stream":
+            from ..search.stream import StreamEngine
+
+            use_ms = k <= 128 and (
+                self.strategy == "maxscore"
+                or (
+                    self.strategy == "auto"
+                    and self._nmax >= StreamEngine.SPARSE_MIN_DOCS
+                )
+            )
+            if use_ms:
+                return self._search_stream_ms(queries, k, fmask_dev)
             return self._search_stream(queries, k, fmask_dev)
         if self.engine == "exact":
             return self._search_dense(queries, k, fmask_dev)

@@ -76,6 +76,84 @@ def _jitted_stream_rescore():
     )
 
 
+def _ms_prefix_prep(
+    order, bounds, tws, ids, qidx, qn, tau_frac, exclude_frac
+):
+    """Host-side MaxScore phase-1 prefix selection (shared by the
+    single-chip engine and the sharded mesh path).
+
+    order/bounds: impact-descending window permutation per term and its
+    (f64) bounds; tws: token -> window-span starts; ids/qidx: matched
+    term ids and their query index; qn: query count.
+
+    Returns (lo, hi, cut, s_rem, excl): per-term window spans into the
+    impact-ordered table, the per-term prefix length (windows with
+    bound >= tau_frac * query-max-bound, zeroed for excluded terms),
+    the per-query certification remainder S = Σ next-window bounds,
+    and the excluded-term mask.
+    """
+    lo = tws[ids].astype(np.int64)
+    hi = tws[ids + 1].astype(np.int64)
+
+    maxb = np.zeros(qn, dtype=np.float64)
+    np.maximum.at(maxb, qidx, bounds[lo])
+    tau = (maxb * tau_frac)[qidx]
+    # Count of (descending) bounds >= tau in each [lo, hi) span.
+    l, r = lo.copy(), hi.copy()
+    for _ in range(int(np.max(hi - lo, initial=1)).bit_length() + 1):
+        m = (l + r) >> 1
+        go = (m < r) & (bounds[np.minimum(m, bounds.size - 1)] >= tau)
+        l = np.where(go, m + 1, l)
+        r = np.where(go, r, m)
+    cut = l - lo
+    # Term-level exclusion (the MaxScore essential-set rule): window
+    # maxima within a common term are nearly flat on Zipf corpora, so
+    # the tau prefix is all-or-nothing there — the only lever that
+    # skips a common term's (huge) posting span in phase 1 is dropping
+    # the WHOLE term.  Per query, exclude terms ascending by term bound
+    # while the inclusive excluded mass stays under
+    # exclude_frac * maxb; certification keeps the result exact and
+    # excluded terms still contribute exactly in the candidate rescore
+    # (search.rs:151-280's skip machinery actually skipping the
+    # common-term lists).
+    excl = np.zeros(qidx.size, dtype=bool)
+    if exclude_frac > 0.0:
+        tb = bounds[lo]
+        t_order = np.lexsort((tb, qidx))
+        tb_s = tb[t_order]
+        q_s = qidx[t_order]
+        cg = np.concatenate(([0.0], np.cumsum(tb_s)))
+        qstart_s = np.concatenate(
+            ([0], np.cumsum(np.bincount(q_s, minlength=qn)))
+        )
+        incl = cg[1:] - cg[qstart_s[q_s]]
+        excl[t_order] = incl < exclude_frac * maxb[q_s]
+        cut = np.where(excl, 0, cut)
+    rem = np.where(
+        cut < hi - lo,
+        bounds[np.minimum(lo + cut, bounds.size - 1)],
+        0.0,
+    )
+    s_rem = np.zeros(qn, dtype=np.float64)
+    np.add.at(s_rem, qidx, rem)
+    return lo, hi, cut, s_rem, excl
+
+
+def _ms_certify(kth_exact, last, s_rem):
+    """Exact-theta certification (shared single-chip / sharded): the k
+    rescored docs exist with these exact scores, so kth_exact is a
+    valid lower bound on the true kth score.  A doc never seen in
+    phase 1 scores at most s_rem; a doc that fell out of the phase-1
+    pool scores at most last + s_rem.  A few f32 ulps of slack keep
+    the comparison conservative.  Returns (fail_unseen, fail_pool)."""
+    eps = 4.0 * np.spacing(
+        np.abs(kth_exact).astype(np.float32)
+    ).astype(np.float64)
+    fail_unseen = ~np.isfinite(kth_exact) | (s_rem >= kth_exact - eps)
+    fail_pool = np.isfinite(last) & (last + s_rem >= kth_exact - eps)
+    return fail_unseen, fail_pool
+
+
 def _active_widths(meta: np.ndarray):
     """Static (doc, tf) width classes present in a dispatch's window
     metadata — the kernel specializes to exactly these (pad windows are
@@ -589,53 +667,9 @@ class StreamEngine:
         n_docs = self.n_docs
         order, bounds = self._maxscore_tables()
         tws = si.token_w_start
-        lo = tws[ids].astype(np.int64)
-        hi = tws[ids + 1].astype(np.int64)
-
-        maxb = np.zeros(qn, dtype=np.float64)
-        np.maximum.at(maxb, qidx, bounds[lo])
-        tau = (maxb * tau_frac)[qidx]
-        # Count of (descending) bounds >= tau in each [lo, hi) span.
-        l, r = lo.copy(), hi.copy()
-        for _ in range(int(np.max(hi - lo, initial=1)).bit_length() + 1):
-            m = (l + r) >> 1
-            go = (m < r) & (
-                bounds[np.minimum(m, bounds.size - 1)] >= tau
-            )
-            l = np.where(go, m + 1, l)
-            r = np.where(go, r, m)
-        cut = l - lo
-        # Term-level exclusion (the MaxScore essential-set rule): window
-        # maxima within a common term are nearly flat on Zipf corpora,
-        # so the tau prefix is all-or-nothing there — the only lever
-        # that skips a common term's (huge) posting span in phase 1 is
-        # dropping the WHOLE term.  Per query, exclude terms ascending
-        # by term bound while the inclusive excluded mass stays under
-        # ms_exclude * maxb; the certification below (s_rem < theta)
-        # keeps the result exact — a doc seen only in excluded terms
-        # scores at most s_rem — and excluded terms still contribute
-        # exactly in the candidate rescore (search.rs:151-280's skip
-        # machinery actually skipping the common-term lists).
-        excl = np.zeros(qidx.size, dtype=bool)
-        if exclude_frac > 0.0:
-            tb = bounds[lo]
-            t_order = np.lexsort((tb, qidx))
-            tb_s = tb[t_order]
-            q_s = qidx[t_order]
-            cg = np.concatenate(([0.0], np.cumsum(tb_s)))
-            qstart_s = np.concatenate(
-                ([0], np.cumsum(np.bincount(q_s, minlength=qn)))
-            )
-            incl = cg[1:] - cg[qstart_s[q_s]]
-            excl[t_order] = incl < exclude_frac * maxb[q_s]
-            cut = np.where(excl, 0, cut)
-        rem = np.where(
-            cut < hi - lo,
-            bounds[np.minimum(lo + cut, bounds.size - 1)],
-            0.0,
+        lo, hi, cut, s_rem, excl = _ms_prefix_prep(
+            order, bounds, tws, ids, qidx, qn, tau_frac, exclude_frac
         )
-        s_rem = np.zeros(qn, dtype=np.float64)
-        np.add.at(s_rem, qidx, rem)
         stats = {
             "queries": qn,
             "tau_frac": tau_frac,
@@ -766,23 +800,13 @@ class StreamEngine:
             res_s[s2] = np.asarray(s_d)[:, :k]
             res_i[s2] = np.asarray(i_d, dtype=np.int64)[:, :k]
 
-        # Exact-theta certification: the k rescored docs exist with
-        # these exact scores, so kth_exact is a valid lower bound on
-        # the true kth score — and unlike the partial theta it includes
-        # the excluded/tail terms' contributions.  A doc never seen in
-        # phase 1 scores at most s_rem; a doc that fell out of the
-        # phase-1 pool scores at most last + s_rem; unselected pool
-        # docs had partial + s_rem < theta <= kth_exact.  A few f32
-        # ulps of slack keep the comparison conservative.
+        # Exact-theta certification (see _ms_certify): unlike the
+        # partial theta, kth_exact includes the excluded/tail terms'
+        # contributions; unselected pool docs had
+        # partial + s_rem < theta <= kth_exact.
         kth_exact = res_s[:, k - 1].astype(np.float64)
-        eps = 4.0 * np.spacing(
-            np.abs(kth_exact).astype(np.float32)
-        ).astype(np.float64)
-        fail_unseen = ~np.isfinite(kth_exact) | (
-            s_rem[ok] >= kth_exact - eps
-        )
-        fail_pool = np.isfinite(last[ok]) & (
-            last[ok] + s_rem[ok] >= kth_exact - eps
+        fail_unseen, fail_pool = _ms_certify(
+            kth_exact, last[ok], s_rem[ok]
         )
         stats["cert_fail_unseen"] = int(fail_unseen.sum())
         stats["cert_fail_pool"] = int((fail_pool & ~fail_unseen).sum())
