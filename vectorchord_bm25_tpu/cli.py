@@ -37,6 +37,12 @@ def _load_corpus(path: str):
     return payloads, texts
 
 
+def _engine_opts(args):
+    if args.engine == "stream" and args.strategy != "auto":
+        return {"strategy": args.strategy}
+    return None
+
+
 def cmd_build(args):
     from .index.bm25index import Bm25Index
     from .index.storage import save_index
@@ -60,6 +66,7 @@ def cmd_build(args):
         index = Bm25Index(
             sealed, seed, options,
             SearchOptions(limit=args.limit), engine=args.engine,
+            engine_options=_engine_opts(args),
         )
     else:
         docs = documents_from_texts(seed, texts)
@@ -70,6 +77,7 @@ def cmd_build(args):
             search_options=SearchOptions(limit=args.limit),
             seed=seed,
             engine=args.engine,
+            engine_options=_engine_opts(args),
         )
     save_index(index, args.index)
     print(
@@ -187,6 +195,14 @@ def main(argv=None):
         "--engine",
         choices=["exact", "blockmax", "hybrid", "stream"],
         default="stream",
+    )
+    p.add_argument(
+        "--strategy",
+        choices=["auto", "dense", "sparse", "maxscore"],
+        default="auto",
+        help="stream-engine reduction strategy (persisted with the "
+        "index; maxscore = impact-ordered pruning with tiered "
+        "exactness certification)",
     )
     p.add_argument("--workers", type=int, default=1)
     p.set_defaults(fn=cmd_build)

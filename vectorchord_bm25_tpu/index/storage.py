@@ -387,6 +387,7 @@ def _write_checkpoint_files(index: Bm25Index, gen_dir: str) -> None:
             "prefilter": index.search_options.prefilter,
         },
         "engine": index.engine_kind,
+        "engine_options": index.engine_options,
         "n_docs": index.sealed.n_docs,
         "sum_dl": index.sealed.sum_dl,
     }
@@ -472,6 +473,7 @@ def load_index(directory: str) -> Bm25Index:
     index = Bm25Index(
         sealed, seed, options, search_options,
         engine=meta.get("engine", "blockmax"),
+        engine_options=meta.get("engine_options") or None,
     )
     index.deleted = np.load(os.path.join(base, "deleted.npy"))
 
