@@ -133,6 +133,65 @@ def synth_queries_fast(
     return out
 
 
+def synth_queries_from_segment(
+    segment, n_queries: int, vocab: int, terms: int = 4, seed: int = 1,
+    n_topics: int = 64,
+):
+    """Query sampling from the sealed segment alone — no corpus postings
+    required, so a cached multi-million-doc segment can grow its query
+    set without regenerating the corpus (hours on one host core).
+
+    Matches synth_queries_fast's structure: an anchor topical term drawn
+    df-weighted (appearing in a random doc), companions drawn
+    df*idf^2-weighted from the SAME topic slice (the synthetic corpora
+    place each topic's vocabulary in a contiguous id range, so query
+    terms co-occur in documents like real keyword queries), plus one
+    common distractor term half the time."""
+    from vectorchord_bm25_tpu.text.intern import Query
+
+    rng = np.random.default_rng(seed)
+    keys = segment.token_keys
+    u8 = keys.view(np.uint8).reshape(-1, 16)[:, :4].astype(np.uint32)
+    ids = (u8[:, 0] << 24) | (u8[:, 1] << 16) | (u8[:, 2] << 8) | u8[:, 3]
+    df = segment.token_df.astype(np.float64)
+    n = segment.n_docs
+    idf2 = np.log((n + 1.0) / (df + 0.5)) ** 2
+    shared = vocab // 5
+    topic_sz = (vocab - shared) // n_topics
+    t_idx = np.flatnonzero(ids >= shared)
+    c_idx = np.flatnonzero(ids < shared)
+    topic_of = (ids[t_idx] - shared) // topic_sz
+    t_start = np.searchsorted(topic_of, np.arange(n_topics + 1))
+    p_anchor = df[t_idx] / df[t_idx].sum()
+    w_top = np.maximum(df[t_idx] * idf2[t_idx], 1e-12)
+    w_com = np.maximum(df[c_idx] * idf2[c_idx], 1e-12)
+    anchors = rng.choice(t_idx.size, size=n_queries, p=p_anchor)
+    commons = (
+        c_idx[rng.choice(c_idx.size, size=n_queries, p=w_com / w_com.sum())]
+        if c_idx.size
+        else np.zeros(n_queries, dtype=np.int64)
+    )
+    out = []
+    for qi in range(n_queries):
+        a = int(anchors[qi])
+        t = int(topic_of[a])
+        lo, hi = int(t_start[t]), int(t_start[t + 1])
+        picks = [int(t_idx[a])]
+        m_common = 1 if (c_idx.size and terms > 2 and rng.random() < 0.5) else 0
+        m_top = min(terms - 1 - m_common, hi - lo - 1)
+        if m_top > 0:
+            w = w_top[lo:hi].copy()
+            w[a - lo] = 0.0
+            s = w.sum()
+            if s > 0:
+                sel = rng.choice(hi - lo, size=m_top, replace=False, p=w / s)
+                picks.extend(int(t_idx[lo + j]) for j in sel)
+        if m_common:
+            picks.append(int(commons[qi]))
+        out.append(Query(keys=np.sort(keys[np.asarray(picks)])))
+    return out
+
+
 def synth_queries(docs, segment, n_queries: int, terms: int = 4, seed: int = 1):
     """Realistic keyword queries: terms sampled from random documents,
     weighted by idf — users type informative words, so real query-term df
@@ -311,7 +370,15 @@ def main():
     parser.add_argument("--queries", type=int, default=4096)
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--k", type=int, default=10)
-    parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument("--rounds", type=int, default=5)
+    parser.add_argument(
+        "--recall-sample",
+        type=int,
+        default=None,
+        help="queries audited against the float64 oracle (default: all; "
+        "capped at 256 beyond 2M docs — the scalar oracle scan is the "
+        "cost there, not the engine)",
+    )
     parser.add_argument(
         "--engine",
         choices=["exact", "blockmax", "hybrid", "stream"],
@@ -395,19 +462,36 @@ def main():
             args.cache, f"queries_{tag}_{args.queries}.npz"
         )
         meta_path = os.path.join(args.cache, f"meta_{tag}.json")
-        if all(os.path.exists(p) for p in (seg_path, q_path, meta_path)):
+        if all(os.path.exists(p) for p in (seg_path, meta_path)):
             with open(meta_path) as f:
                 m = json.load(f)
             seg = load_segment(
                 seg_path, IndexOptions(), m["n_docs"], m["sum_dl"]
             )
-            qz = np.load(q_path)
-            qk, qoff = qz["keys"], qz["offsets"]
-            queries = [
-                Query(keys=qk[qoff[i] : qoff[i + 1]])
-                for i in range(len(qoff) - 1)
-            ]
-            print(f"loaded cached segment+queries from {args.cache}",
+            if os.path.exists(q_path):
+                qz = np.load(q_path)
+                qk, qoff = qz["keys"], qz["offsets"]
+                queries = [
+                    Query(keys=qk[qoff[i] : qoff[i + 1]])
+                    for i in range(len(qoff) - 1)
+                ]
+            else:
+                # Segment cached with a different query count: sample a
+                # fresh query set from the segment alone (the corpus
+                # postings are gone; regenerating them takes hours at
+                # multi-million-doc scale on one host core).
+                queries = synth_queries_from_segment(
+                    seg, args.queries, args.vocab
+                )
+                qk = np.concatenate([q.keys for q in queries]).astype(
+                    "S16"
+                )
+                qoff = np.zeros(len(queries) + 1, dtype=np.int64)
+                np.cumsum(
+                    [q.keys.size for q in queries], out=qoff[1:]
+                )
+                np.savez(q_path, keys=qk, offsets=qoff)
+            print(f"loaded cached segment from {args.cache}",
                   file=__import__("sys").stderr)
     if seg is None:
         keys, doc_ids, tfs, doc_start = synth_corpus_postings(
@@ -468,8 +552,9 @@ def main():
     engine.search(batches[0], args.k)
 
     use_async = hasattr(engine, "search_async")
-    best_qps = 0.0
-    for _ in range(args.rounds):
+    qps_rounds = []
+    ms_agg = None
+    for rnd in range(args.rounds):
         t0 = time.perf_counter()
         total = 0
         if use_async:
@@ -479,6 +564,34 @@ def main():
             for batch in batches:
                 fins.append(engine.search_async(batch, args.k))
                 total += len(batch)
+                # MaxScore pruning-work profile (set synchronously by
+                # the dispatch when the pruned path served the batch);
+                # accumulate over the first timed pass only.
+                st = getattr(engine, "last_ms_stats", None)
+                if rnd == 0 and st is not None:
+                    if ms_agg is None:
+                        ms_agg = {
+                            "queries": 0,
+                            "fallback_queries": 0,
+                            "windows_total": 0,
+                            "windows_phase1": 0,
+                            "excluded_terms": 0,
+                            "terms": 0,
+                        }
+                    ms_agg["queries"] += st["queries"]
+                    ms_agg["fallback_queries"] += st["fallback_queries"]
+                    for t in st["tiers"]:
+                        for f in (
+                            "windows_phase1",
+                            "excluded_terms",
+                            "terms",
+                        ):
+                            ms_agg[f] += t.get(f, 0)
+                    if st["tiers"]:
+                        # Tier 1 sees every active query's full spans.
+                        ms_agg["windows_total"] += st["tiers"][0][
+                            "windows_total"
+                        ]
             for fin in fins:
                 fin()
         else:
@@ -486,7 +599,9 @@ def main():
                 engine.search(batch, args.k)
                 total += len(batch)
         dt = time.perf_counter() - t0
-        best_qps = max(best_qps, total / dt)
+        qps_rounds.append(total / dt)
+    qps_rounds.sort()
+    best_qps = float(np.median(qps_rounds))
 
     # Recall@k vs the exhaustive float64 oracle (BASELINE.json's recall
     # metric) on the FULL query set — engines are exact by construction,
@@ -497,10 +612,22 @@ def main():
 
     from vectorchord_bm25_tpu.search.exact import oracle_scores
 
+    # At multi-million-doc scale the per-query float64 oracle scan is
+    # the cost: audit a capped prefix of the query set there.
+    rs = args.recall_sample
+    if rs is None:
+        rs = 256 if args.docs > 2_000_000 else len(queries)
+    audit = []
+    taken = 0
+    for b in batches:
+        if taken >= rs:
+            break
+        audit.append(b)
+        taken += len(b)
     hits = 0
     total = 0
     tie_swaps = 0
-    for batch in batches:
+    for batch in audit:
         _, ids_s, _ = engine.search(batch, args.k)
         for qi, query in enumerate(batch):
             o_scores, o_ids = oracle_topk(
@@ -530,7 +657,7 @@ def main():
     recall = hits / total if total else 1.0
     print(
         f"recall@{args.k} vs exhaustive oracle ({total} hits over "
-        f"{sum(len(b) for b in batches)} queries): {recall:.4f} "
+        f"{sum(len(b) for b in audit)} audited queries): {recall:.4f} "
         f"({tie_swaps} f32-resolution boundary-tie swaps excused)",
         file=_sys.stderr,
     )
@@ -544,24 +671,39 @@ def main():
     print(f"memory parity: {parity}", file=_sys.stderr)
 
     baseline = 28.38  # reference trec-covid QPS (README.md:389-394)
-    print(
-        json.dumps(
-            {
-                "metric": f"synthetic_{args.docs}_docs_batched_qps_top10",
-                "value": round(best_qps, 2),
-                "unit": "queries/s",
-                "vs_baseline": round(best_qps / baseline, 2),
-                "platform": _platform(),
-                "device_bytes_per_posting": parity[
-                    "device_bytes_per_posting"
-                ],
-                "reference_bytes_per_posting": parity[
-                    "reference_bytes_per_posting"
-                ],
-                "memory_ratio_vs_reference": parity["ratio_vs_reference"],
-            }
+    line = {
+        "metric": f"synthetic_{args.docs}_docs_batched_qps_top{args.k}",
+        # Median of `rounds` timed passes (rounds 1-3 recorded
+        # best-of-3; the min/max spread quantifies tunnel variance so
+        # round-over-round deltas are interpretable — VERDICT r3 weak #1).
+        "value": round(best_qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(best_qps / baseline, 2),
+        "platform": _platform(),
+        "rounds": args.rounds,
+        "qps_min": round(qps_rounds[0], 2),
+        "qps_max": round(qps_rounds[-1], 2),
+        "recall_vs_oracle": round(recall, 4),
+        "engine": args.engine,
+        "strategy": args.strategy,
+        "device_bytes_per_posting": parity["device_bytes_per_posting"],
+        "reference_bytes_per_posting": parity[
+            "reference_bytes_per_posting"
+        ],
+        "memory_ratio_vs_reference": parity["ratio_vs_reference"],
+    }
+    if ms_agg is not None and ms_agg["windows_total"]:
+        line["ms_windows_phase1_frac"] = round(
+            ms_agg["windows_phase1"] / ms_agg["windows_total"], 4
         )
-    )
+        line["ms_fallback_queries"] = ms_agg["fallback_queries"]
+        line["ms_certified_frac"] = round(
+            1.0 - ms_agg["fallback_queries"] / max(1, ms_agg["queries"]),
+            4,
+        )
+        line["ms_excluded_terms"] = ms_agg["excluded_terms"]
+        line["ms_terms"] = ms_agg["terms"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -834,6 +834,9 @@ class StreamEngine:
 
         if k <= 0:
             raise ValueError("number of needed rows is set to 0")
+        # Per-dispatch profile: cleared up front so a reader after this
+        # call never sees a previous dispatch's stats.
+        self.last_ms_stats = None
         queries = list(queries)
         qn = len(queries)
         n_docs = self.n_docs
