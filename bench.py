@@ -535,7 +535,26 @@ def main():
             seg, chunk=args.chunk, posting_mode=args.posting_mode
         )
     elif args.engine == "stream":
-        engine = StreamEngine(seg, strategy=args.strategy)
+        stream = None
+        if args.cache:
+            import os
+
+            from vectorchord_bm25_tpu.index.stream import (
+                build_stream_index,
+                load_stream_index,
+                save_stream_index,
+            )
+
+            tag = f"{args.docs}_{args.vocab}_{args.avg_len}"
+            sp = os.path.join(args.cache, f"stream_{tag}.npz")
+            if os.path.exists(sp):
+                stream = load_stream_index(sp)
+                print(f"loaded cached stream index from {sp}",
+                      file=__import__("sys").stderr)
+            else:
+                stream = build_stream_index(seg)
+                save_stream_index(stream, sp)
+        engine = StreamEngine(seg, stream=stream, strategy=args.strategy)
     else:
         engine = ExactEngine(seg)
 

@@ -61,6 +61,56 @@ class TestLoader:
         assert ds.doc_texts == ["A Title body"]
         assert ds.qrels == {"q1": {"d1": 1}}
 
+    def test_handcrafted_beir_dir_end_to_end(self, tmp_path):
+        """The networked-BEIR recipe (README): a directory laid out by
+        an EXTERNAL tool (written by hand here, not via our own save)
+        must drive load_beir -> build_index -> run_dataset to sane
+        metrics — guards the recipe against layout drift and
+        save/load-symmetric bugs (VERDICT r3 #9)."""
+        import json
+
+        d = tmp_path / "scifact-like"
+        (d / "qrels").mkdir(parents=True)
+        docs = [
+            ("d1", "BM25 scoring", "bm25 ranks documents by term rarity"),
+            ("d2", "", "postgres stores relational data"),
+            ("d3", "Vector search", "vectors embed documents for ann"),
+            ("d4", "", "bm25 uses idf and document length"),
+            ("d5", "Databases", "postgres supports full text search"),
+            ("d6", "", "unrelated cooking recipe with garlic"),
+            ("d7", "", "another unrelated gardening note"),
+            ("d8", "Ranking", "learning to rank reorders bm25 output"),
+            ("d9", "", "sparse retrieval complements dense vectors"),
+            ("d10", "", "term frequency saturates in bm25"),
+        ]
+        with open(d / "corpus.jsonl", "w") as f:
+            for did, title, text in docs:
+                f.write(
+                    json.dumps({"_id": did, "title": title, "text": text})
+                    + "\n"
+                )
+        with open(d / "queries.jsonl", "w") as f:
+            f.write(json.dumps({"_id": "q1", "text": "bm25 ranking"}) + "\n")
+            f.write(
+                json.dumps({"_id": "q2", "text": "postgres text search"})
+                + "\n"
+            )
+            f.write(
+                json.dumps({"_id": "q3", "text": "not in qrels"}) + "\n"
+            )
+        with open(d / "qrels" / "test.tsv", "w") as f:
+            f.write("query-id\tcorpus-id\tscore\n")
+            f.write("q1\td1\t2\n")
+            f.write("q1\td4\t1\n")
+            f.write("q2\td5\t1\n")
+        ds = load_beir(str(d))
+        assert ds.n_docs == 10 and ds.n_queries == 2  # q3 filtered
+        index = build_index(ds, engine="stream")
+        _, metrics, _ = run_dataset(ds, index, k=10, batch=2)
+        assert metrics["ndcg@10"] > 0.5
+        assert metrics["recall@10"] == 1.0
+        assert oracle_rank_parity(ds, index, k=10) == 0
+
     def test_queries_filtered_to_qrels_split(self, mini, tmp_path):
         d = str(tmp_path / "ds")
         mini.save(d)

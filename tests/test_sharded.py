@@ -291,6 +291,61 @@ class TestShardedIndex:
             back = load_sharded_index(td, mesh=mesh8)
             assert back.strategy == "maxscore"
 
+    def test_maxscore_per_shard_fallback(self, rng, mesh8, monkeypatch):
+        """An uncertified shard must NOT force the whole query through
+        the exhaustive sharded scan: certified shards' exact local
+        top-ks are kept and only the uncertified shards rescan
+        (VERDICT r3 #6).  A deliberately aggressive single tier forces
+        certification failures; results must still rank exactly like
+        the exhaustive scan, and the dispatch must skip the certified
+        pairs' windows."""
+        from bench import synth_corpus_postings
+        from vectorchord_bm25_tpu.search.stream import StreamEngine
+
+        n = 16384
+        keys, doc_ids, tfs, doc_start = synth_corpus_postings(
+            n, 8000, 50
+        )
+        kwargs = dict(mesh=mesh8, engine="stream", device_build=False)
+        ms = ShardedIndex.build_from_postings(
+            keys, doc_ids, tfs, doc_start, 8,
+            strategy="maxscore", **kwargs,
+        )
+        ex = ShardedIndex.build_from_postings(
+            keys, doc_ids, tfs, doc_start, 8,
+            strategy="dense", **kwargs,
+        )
+        # One high-tau tier with a shallow pool: heavy queries cannot
+        # certify (large s_rem + truncated pool), selective ones can.
+        monkeypatch.setattr(
+            StreamEngine, "MS_TIERS", ((0.95, 16, 0.0),)
+        )
+        queries = [
+            Query.from_int_ids(
+                np.unique(
+                    np.concatenate(
+                        [
+                            rng.integers(0, 12, size=2),  # Zipf head
+                            rng.integers(150, 8000, size=2),
+                        ]
+                    )
+                ).tolist()
+            )
+            for _ in range(16)
+        ]
+        s_m, i_m, _ = ms.search(queries, 10)
+        s_e, i_e, _ = ex.search(queries, 10)
+        np.testing.assert_array_equal(i_m, i_e)
+        f = np.isfinite(s_m)
+        np.testing.assert_allclose(s_m[f], s_e[f], rtol=2e-6)
+        st = ms.last_ms_stats
+        assert st is not None and st["fallback_queries"] > 0, st
+        # Some (shard, query) pairs certified on the fallback queries,
+        # so the partial rescan dispatched strictly fewer windows than
+        # whole-query fallback would have.
+        assert st["fallback_windows_skipped"] > 0, st
+        assert st["fallback_windows_scanned"] > 0, st
+
     def test_uniform_range_size_across_shards(self, rng, mesh8, monkeypatch):
         # Regression: the stacked kernels decode doc = range*rs + local
         # with ONE rs; shards straddling the scale-aware default's

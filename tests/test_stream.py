@@ -224,6 +224,40 @@ class TestStreamEngine:
             engine.search(queries, 0)
 
 
+class TestStreamIndexCache:
+    def test_save_load_roundtrip_serves_identically(self, rng, tmp_path):
+        """The cached stream (save_stream_index/load_stream_index) must
+        reproduce the built stream bit-for-bit — benches reuse it to
+        skip the multi-minute rebuild at multi-million-doc scale."""
+        from vectorchord_bm25_tpu.index.stream import (
+            _STREAM_ARRAYS,
+            build_stream_index,
+            load_stream_index,
+            save_stream_index,
+        )
+
+        seg = random_segment(rng, 3000, 80, 900, tf_hi=6)
+        si = build_stream_index(seg)
+        p = str(tmp_path / "stream.npz")
+        save_stream_index(si, p)
+        back = load_stream_index(p)
+        for f in _STREAM_ARRAYS:
+            np.testing.assert_array_equal(
+                getattr(si, f), getattr(back, f), err_msg=f
+            )
+        assert (si.n_docs, si.n_tokens, si.n_postings, si.tf_width) == (
+            back.n_docs, back.n_tokens, back.n_postings, back.tf_width
+        )
+        queries = [
+            Query.from_int_ids(rng.integers(0, 80, size=3).tolist())
+            for _ in range(8)
+        ]
+        s1, i1, _ = StreamEngine(seg, stream=si).search(queries, 10)
+        s2, i2, _ = StreamEngine(seg, stream=back).search(queries, 10)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(s1, s2)
+
+
 class TestMaxScore:
     """strategy='maxscore': impact-ordered window-prefix pruning with
     exact candidate rescoring (the MaxScore/Block-Max analog of
@@ -299,6 +333,12 @@ class TestMaxScore:
         # The retry tier (when any query needed it) also prunes.
         for t in st["tiers"][1:]:
             assert t["windows_phase1"] <= 0.6 * t["windows_total"], t
+        # Deep-k (north-star recall@1000 regime): the 16384-entry pool
+        # serves k=1000 pruned and exact (VERDICT r3 #5).
+        s_m, i_m, _ = ms.search(queries, 1000)
+        s_e, i_e, _ = ex.search(queries, 1000)
+        assert np.array_equal(i_m, i_e)
+        assert ms.last_ms_stats is not None
 
     def test_auto_routes_through_maxscore_at_scale(self, rng, monkeypatch):
         """strategy='auto' serves the pruned MaxScore path once the
@@ -316,22 +356,30 @@ class TestMaxScore:
         ex = StreamEngine(seg, strategy="sparse")
         s_e, i_e, _ = ex.search(queries, 10)
         assert np.array_equal(i_a, i_e)
-        # k > 128 still serves exhaustively (no pruned-path stats).
+        # k > MS_MAX_K still serves exhaustively (no pruned-path stats).
         auto2 = StreamEngine(seg, strategy="auto")
-        s_a2, i_a2, _ = auto2.search(queries, 200)
+        s_a2, i_a2, _ = auto2.search(queries, 1500)
         assert auto2.last_ms_stats is None
-        s_e2, i_e2, _ = ex.search(queries, 200)
+        s_e2, i_e2, _ = ex.search(queries, 1500)
         assert np.array_equal(i_a2, i_e2)
 
     def test_k_above_pool_falls_back(self, rng):
-        # k > 128 routes every query through the exhaustive path.
-        seg = random_segment(rng, 600, 40, 200, tf_hi=3)
+        # k > MS_MAX_K (1024) routes every query through the exhaustive
+        # path; k in (128, MS_MAX_K] — the north-star recall@1000
+        # regime — serves pruned with the deeper pool (VERDICT r3 #5).
+        seg = random_segment(rng, 2000, 40, 200, tf_hi=3)
         ms = StreamEngine(seg, strategy="maxscore")
         ex = StreamEngine(seg, strategy="sparse")
         queries = [
             Query.from_int_ids(rng.integers(0, 200, size=3).tolist())
             for _ in range(8)
         ]
-        s_m, i_m, _ = ms.search(queries, 300)
-        s_e, i_e, _ = ex.search(queries, 300)
-        assert np.array_equal(i_m, i_e)
+        for k in (300, 1000, 2000):
+            ms.last_ms_stats = None
+            s_m, i_m, _ = ms.search(queries, k)
+            s_e, i_e, _ = ex.search(queries, k)
+            assert np.array_equal(i_m, i_e), k
+            if k <= StreamEngine.MS_MAX_K:
+                assert ms.last_ms_stats is not None, k
+            else:
+                assert ms.last_ms_stats is None, k

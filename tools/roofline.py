@@ -65,7 +65,25 @@ def _load_or_build(n_docs, vocab, avg_len, n_queries, cache):
             keys, doc_ids, tfs, n_docs, doc_grouped=True
         )
         queries = synth_queries_fast(keys, doc_start, seg, n_queries)
-    return seg, queries[:n_queries]
+    if queries is None:
+        from bench import synth_queries_from_segment
+
+        queries = synth_queries_from_segment(seg, n_queries, vocab)
+    stream = None
+    if cache:
+        from vectorchord_bm25_tpu.index.stream import (
+            build_stream_index,
+            load_stream_index,
+            save_stream_index,
+        )
+
+        sp = os.path.join(cache, f"stream_{tag}.npz")
+        if os.path.exists(sp):
+            stream = load_stream_index(sp)
+        else:
+            stream = build_stream_index(seg)
+            save_stream_index(stream, sp)
+    return seg, queries[:n_queries], stream
 
 
 def _timeit(run, n_iter=20):
@@ -80,7 +98,7 @@ def _timeit(run, n_iter=20):
     return (time.perf_counter() - t0) / n_iter
 
 
-def roofline_dense(seg, queries, k=16):
+def roofline_dense(seg, queries, k=16, stream=None):
     """Device-only time of one flat-dense dispatch over the whole batch
     (un-sub-batched: accumulator budget may split real dispatches; the
     roofline wants the raw kernel)."""
@@ -94,7 +112,7 @@ def roofline_dense(seg, queries, k=16):
     )
     from vectorchord_bm25_tpu.utils.buckets import bucket_pow2 as _bucket
 
-    eng = StreamEngine(seg)
+    eng = StreamEngine(seg, stream=stream)
     n_docs, qn = seg.n_docs, len(queries)
     (wsrc_all, starts, sizes), _ = eng._win_lists(queries)
     t = int(wsrc_all.size)
@@ -134,7 +152,7 @@ def roofline_dense(seg, queries, k=16):
     return dt
 
 
-def roofline_sparse(seg, queries, k=16):
+def roofline_sparse(seg, queries, k=16, stream=None):
     """Device-only time of the sparse (sort-reduce) dispatch — the
     multi-million-doc serving default (no [Q, N] accumulator)."""
     import jax
@@ -147,7 +165,7 @@ def roofline_sparse(seg, queries, k=16):
     )
     from vectorchord_bm25_tpu.utils.buckets import bucket_pow2 as _bucket
 
-    eng = StreamEngine(seg, strategy="sparse")
+    eng = StreamEngine(seg, stream=stream, strategy="sparse")
     n_docs, qn = seg.n_docs, len(queries)
     lists, n_terms = eng._win_lists(queries)
     sub = np.arange(qn, dtype=np.int64)
@@ -203,11 +221,14 @@ def main():
     enable_compile_cache()
 
     for n in args.docs:
-        seg, queries = _load_or_build(
+        seg, queries, stream = _load_or_build(
             n, args.vocab, args.avg_len, args.queries, args.cache
         )
-        roofline_dense(seg, queries[: args.queries])
-        roofline_sparse(seg, queries[: args.sparse_queries])
+        if n < 2_000_000:  # dense is the served path below 2M docs
+            roofline_dense(seg, queries[: args.queries], stream=stream)
+        roofline_sparse(
+            seg, queries[: args.sparse_queries], stream=stream
+        )
 
 
 if __name__ == "__main__":

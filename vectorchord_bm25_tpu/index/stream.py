@@ -59,7 +59,13 @@ import numpy as np
 
 from .sealed import SealedSegment
 
-__all__ = ["StreamIndex", "build_stream_index", "WINDOW"]
+__all__ = [
+    "StreamIndex",
+    "build_stream_index",
+    "save_stream_index",
+    "load_stream_index",
+    "WINDOW",
+]
 
 WINDOW = 128  # max postings per window (64 at wd=2); = reference BLOCK
 
@@ -170,6 +176,42 @@ class StreamIndex:
             toff = off + ((ln * dbits + 31) >> 5)
             tfs = _extract_bits(self.words, toff, ln, tfbits)
         return docs, tfs
+
+
+_STREAM_ARRAYS = (
+    "words", "w_token", "w_base", "w_len", "w_dbits", "w_tfbits",
+    "w_off4", "w_s0", "w_maximp", "token_w_start", "doc_fn",
+    "token_maximp", "s1_table",
+)
+
+
+def save_stream_index(si: StreamIndex, path: str) -> None:
+    """Persist the built stream (one npz).  Building the stream over a
+    multi-hundred-million-posting segment is ~20 min of host work at
+    8.4M docs; reloading is seconds, so benches/tools cache it next to
+    the segment (`bench.py --cache`)."""
+    np.savez(
+        path,
+        scalars=np.array(
+            [si.n_docs, si.n_tokens, si.n_postings, si.tf_width],
+            dtype=np.int64,
+        ),
+        **{f: getattr(si, f) for f in _STREAM_ARRAYS},
+    )
+
+
+def load_stream_index(path: str) -> StreamIndex:
+    z = np.load(path)
+    n_docs, n_tokens, n_postings, tf_width = (
+        int(x) for x in z["scalars"]
+    )
+    return StreamIndex(
+        n_docs=n_docs,
+        n_tokens=n_tokens,
+        n_postings=n_postings,
+        tf_width=tf_width,
+        **{f: z[f] for f in _STREAM_ARRAYS},
+    )
 
 
 def _extract_bits(

@@ -857,13 +857,30 @@ class ShardedIndex:
             per_shard.append((wsrc, q_of))
         return per_shard
 
-    def _search_stream(self, queries: Sequence[Query], k: int, fmask_dev):
+    def _search_stream(
+        self,
+        queries: Sequence[Query],
+        k: int,
+        fmask_dev,
+        skip_pairs: Optional[np.ndarray] = None,
+    ):
         """Equal-index-memory sharded search: flat per-shard window
-        dispatch (search/stream.py's dense path) + all_gather merge."""
+        dispatch (search/stream.py's dense path) + all_gather merge.
+
+        skip_pairs [d, qn] bool: (shard, query) pairs whose windows are
+        dropped from the dispatch — the MaxScore per-shard fallback
+        passes the certified pairs here (their exact local top-ks are
+        already known), so only uncertified shards rescan and the
+        in-kernel merge covers exactly the rescanned shards."""
         import jax.numpy as jnp
 
         qn = len(queries)
         per_shard = self._prepare_stream(queries)
+        if skip_pairs is not None:
+            per_shard = [
+                (ws[~skip_pairs[si, q_of]], q_of[~skip_pairs[si, q_of]])
+                for si, (ws, q_of) in enumerate(per_shard)
+            ]
         kk = _bucket(k, 1)
         d = self.n_shards
 
@@ -1062,7 +1079,12 @@ class ShardedIndex:
             a = active.size
             remap = np.full(qn, -1, dtype=np.int64)
             remap[active] = np.arange(a)
-            c_pool = int(min(_bucket(max(16 * k, pool_min), 1), 4096))
+            c_pool = int(
+                min(
+                    _bucket(max(16 * k, pool_min), 1),
+                    StreamEngine.MS_POOL_CAP,
+                )
+            )
 
             # Host prep per shard: impact-ordered prefix + spans.
             preps = []
@@ -1262,10 +1284,29 @@ class ShardedIndex:
             if active.size == 0:
                 break
 
+        # Per-shard fallback accounting: windows the certified pairs
+        # would have rescanned under whole-query fallback vs what the
+        # partial rescan actually dispatches (VERDICT r3 #6).
+        fb_scanned = fb_skipped = 0
+        if active.size:
+            remap_a = np.full(qn, -1, dtype=np.int64)
+            remap_a[active] = np.arange(active.size)
+            for si in range(d):
+                lids, qs = shard_terms[si]
+                m = remap_a[qs] >= 0
+                if not m.any():
+                    continue
+                tws = self._streams[si].token_w_start
+                wcnt = (tws[lids[m] + 1] - tws[lids[m]]).astype(np.int64)
+                certm = cert[si, qs[m]]
+                fb_skipped += int(wcnt[certm].sum())
+                fb_scanned += int(wcnt[~certm].sum())
         self.last_ms_stats = {
             "queries": qn,
             "tiers": tiers_stats,
             "fallback_queries": int(active.size),
+            "fallback_windows_scanned": fb_scanned,
+            "fallback_windows_skipped": fb_skipped,
         }
 
         # Merge certified queries' per-shard top-ks host-side.
@@ -1288,13 +1329,46 @@ class ShardedIndex:
             scores_out[done] = np.take_along_axis(s_all, ordm, axis=1)
             gids_out[done] = np.take_along_axis(g_ids, ordm, axis=1)
 
-        # Exhaustive fallback for queries any shard failed to certify.
+        # Per-shard fallback for queries some shard failed to certify:
+        # only the UNCERTIFIED shards rescan (their windows ride the
+        # exhaustive sharded dispatch; certified pairs' windows are
+        # dropped from it), and the certified shards' exact local
+        # top-ks merge host-side with the rescan's result — strictly
+        # fewer scanned windows than whole-query fallback whenever any
+        # shard certified (VERDICT r3 #6).
         if active.size:
+            a = active.size
+            skip = cert[:, active]  # [d, a] True = exact local top-k known
             fs, fi = self._search_stream(
-                [queries[int(j)] for j in active], k, fmask_dev
+                [queries[int(j)] for j in active],
+                k,
+                fmask_dev,
+                skip_pairs=skip,
             )
-            scores_out[active] = np.asarray(fs)[:, :k]
-            gids_out[active] = np.asarray(fi)[:, :k]
+            s_cert = np.where(
+                skip[:, :, None], res_s[:, active], -np.inf
+            )  # [d, a, k]
+            g_cert = res_i[:, active] + doc_offsets[:, None, None]
+            g_cert = np.where(np.isfinite(s_cert), g_cert, _INT_MAX)
+            s_all = np.concatenate(
+                [
+                    s_cert.transpose(1, 0, 2).reshape(a, d * k),
+                    np.asarray(fs)[:, :k],
+                ],
+                axis=1,
+            )
+            g_all = np.concatenate(
+                [
+                    g_cert.transpose(1, 0, 2).reshape(a, d * k),
+                    np.asarray(fi)[:, :k],
+                ],
+                axis=1,
+            )
+            ordm = np.lexsort(
+                (g_all, -s_all.astype(np.float64)), axis=1
+            )[:, :k]
+            scores_out[active] = np.take_along_axis(s_all, ordm, axis=1)
+            gids_out[active] = np.take_along_axis(g_all, ordm, axis=1)
         return scores_out, gids_out
 
     # ------------------------------------------------------------------
@@ -1904,7 +1978,7 @@ class ShardedIndex:
         if self.engine == "stream":
             from ..search.stream import StreamEngine
 
-            use_ms = k <= 128 and (
+            use_ms = k <= StreamEngine.MS_MAX_K and (
                 self.strategy == "maxscore"
                 or (
                     self.strategy == "auto"

@@ -599,6 +599,14 @@ class StreamEngine:
     #: truncation bound) before the exhaustive fallback — still far
     #: cheaper than scoring every posting for the retried queries.
     MS_TIERS = ((0.5, 512, None), (0.25, 2048, 0.0))
+    #: Deepest k the pruned path serves (the reference's WAND serves
+    #: any LIMIT, gucs.rs caps bm25.limit at 65535; the partial pool
+    #: here must hold ~16k candidates, so k=1000 north-star retrieval
+    #: fits with the 16384-entry pool and anything deeper serves
+    #: exhaustively).  VERDICT r3 #5.
+    MS_MAX_K = 1024
+    #: Partial-pool ceiling (entries per query per tier).
+    MS_POOL_CAP = 16384
 
     def _maxscore_phase(self, queries, k, fm_dev, n_terms):
         """Tiered two-phase pruned exact top-k (strategy='maxscore').
@@ -692,7 +700,7 @@ class StreamEngine:
         # queries fell back; the kept-partial floor `last` drops fast
         # with depth on Zipf partials.  [Q, c_pool] transfer + the
         # wider device sort are cheap next to window scoring.
-        c_pool = int(min(_bucket(max(16 * k, pool_min), 1), 4096))
+        c_pool = int(min(_bucket(max(16 * k, pool_min), 1), self.MS_POOL_CAP))
         p1 = []
         p_bucket = max(1, _bucket(int(sizes.max(initial=1)), 8))
         lane_cap = max(1, (1 << 26) // (p_bucket * 128))
@@ -812,7 +820,13 @@ class StreamEngine:
         stats["cert_fail_pool"] = int((fail_pool & ~fail_unseen).sum())
         safe = ~(fail_unseen | fail_pool)
         certified = np.flatnonzero(safe)
-        fallback = np.concatenate([fallback, ok[np.flatnonzero(~safe)]])
+        # Sorted: the next tier's prefix prep assumes query-ascending
+        # term lists (tpos/qstart scatter); concatenating hopeless +
+        # cert-failed indices unsorted corrupted the retry's term-span
+        # matrices whenever both classes were non-empty.
+        fallback = np.sort(
+            np.concatenate([fallback, ok[np.flatnonzero(~safe)]])
+        )
         stats["fallback_queries"] = int(fallback.size)
         pending = []
         if certified.size:
@@ -846,10 +860,10 @@ class StreamEngine:
         # exhaustive sparse scan (the tiered retry certifies ~all
         # queries scoring a small fraction of their matched windows,
         # and the dispatch payload shrinks with the scored windows —
-        # see DESIGN.md).  k > 128 exceeds the partial-pool design and
-        # serves exhaustively.
+        # see DESIGN.md).  k > MS_MAX_K exceeds the partial-pool design
+        # and serves exhaustively.
         at_scale = n_docs >= self.SPARSE_MIN_DOCS
-        use_maxscore = k <= 128 and (
+        use_maxscore = k <= self.MS_MAX_K and (
             self.strategy == "maxscore"
             or (self.strategy == "auto" and at_scale)
         )
