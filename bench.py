@@ -135,7 +135,7 @@ def synth_queries_fast(
 
 def synth_queries_from_segment(
     segment, n_queries: int, vocab: int, terms: int = 4, seed: int = 1,
-    n_topics: int = 64,
+    n_topics: int = 64, mix: str = "informative",
 ):
     """Query sampling from the sealed segment alone — no corpus postings
     required, so a cached multi-million-doc segment can grow its query
@@ -146,7 +146,14 @@ def synth_queries_from_segment(
     df*idf^2-weighted from the SAME topic slice (the synthetic corpora
     place each topic's vocabulary in a contiguous id range, so query
     terms co-occur in documents like real keyword queries), plus one
-    common distractor term half the time."""
+    common distractor term half the time.
+
+    mix='informative' (default): distractors drawn df*idf^2-weighted
+    like synth_queries_fast — every term carries signal, the flat-
+    impact worst case for skip-based pruning.  mix='heavy': EVERY
+    query gets 1-2 distractors drawn df-weighted from the Zipf head —
+    the huge-posting-list common-word case where the reference's WAND
+    machinery (search.rs:151-280) earns its keep."""
     from vectorchord_bm25_tpu.text.intern import Query
 
     rng = np.random.default_rng(seed)
@@ -165,19 +172,26 @@ def synth_queries_from_segment(
     p_anchor = df[t_idx] / df[t_idx].sum()
     w_top = np.maximum(df[t_idx] * idf2[t_idx], 1e-12)
     w_com = np.maximum(df[c_idx] * idf2[c_idx], 1e-12)
+    heavy = mix == "heavy"
     anchors = rng.choice(t_idx.size, size=n_queries, p=p_anchor)
     commons = (
         c_idx[rng.choice(c_idx.size, size=n_queries, p=w_com / w_com.sum())]
         if c_idx.size
         else np.zeros(n_queries, dtype=np.int64)
     )
+    p_head = df[c_idx] / df[c_idx].sum() if c_idx.size else None
     out = []
     for qi in range(n_queries):
         a = int(anchors[qi])
         t = int(topic_of[a])
         lo, hi = int(t_start[t]), int(t_start[t + 1])
         picks = [int(t_idx[a])]
-        m_common = 1 if (c_idx.size and terms > 2 and rng.random() < 0.5) else 0
+        if heavy and c_idx.size:
+            m_common = min(1 + int(rng.random() < 0.5), max(terms - 1, 1))
+        elif c_idx.size and terms > 2 and rng.random() < 0.5:
+            m_common = 1
+        else:
+            m_common = 0
         m_top = min(terms - 1 - m_common, hi - lo - 1)
         if m_top > 0:
             w = w_top[lo:hi].copy()
@@ -187,7 +201,13 @@ def synth_queries_from_segment(
                 sel = rng.choice(hi - lo, size=m_top, replace=False, p=w / s)
                 picks.extend(int(t_idx[lo + j]) for j in sel)
         if m_common:
-            picks.append(int(commons[qi]))
+            if heavy:
+                sel = rng.choice(
+                    c_idx.size, size=m_common, replace=False, p=p_head
+                )
+                picks.extend(int(c_idx[j]) for j in sel)
+            else:
+                picks.append(int(commons[qi]))
         out.append(Query(keys=np.sort(keys[np.asarray(picks)])))
     return out
 
@@ -333,33 +353,65 @@ def run_growing_bench(args, seg, engine, batches) -> None:
     sealed_qps = qps_of()
 
     rng = np.random.default_rng(9)
-    for j in range(args.growing):
+
+    def rand_doc(j):
         n_terms = int(rng.integers(4, 2 * args.avg_len))
         ids = (rng.zipf(1.3, size=n_terms) % args.vocab).tolist()
-        index.insert(
-            Document.from_int_ids(ids), payload=args.docs + j
-        )
+        return Document.from_int_ids(ids), args.docs + j
+
+    for j in range(args.growing):
+        doc, pl = rand_doc(j)
+        index.insert(doc, payload=pl)
     growing_qps = qps_of()
+
+    interleaved_qps = None
+    if args.growing_interleave:
+        # Insert bursts BETWEEN served batches: the growing segment's
+        # lazy device-engine rebuild lands on the serving path every
+        # batch (index/growing.py device_engine; VERDICT r3 #8).
+        m = args.growing_interleave
+        best = 0.0
+        for r in range(args.rounds):
+            t0 = time.perf_counter()
+            n = 0
+            for bi, batch in enumerate(batches):
+                for j in range(m):
+                    doc, pl = rand_doc(
+                        args.growing + (r * len(batches) + bi) * m + j
+                    )
+                    index.insert(doc, payload=pl)
+                index.search_batch(batch, args.k)
+                n += len(batch)
+            best = max(best, n / (time.perf_counter() - t0))
+        interleaved_qps = best
 
     print(
         f"sealed-only {sealed_qps:.1f} QPS -> +{args.growing} growing "
-        f"{growing_qps:.1f} QPS ({growing_qps / sealed_qps:.2f}x)",
+        f"{growing_qps:.1f} QPS ({growing_qps / sealed_qps:.2f}x)"
+        + (
+            f" -> interleaved(+{args.growing_interleave}/batch) "
+            f"{interleaved_qps:.1f} QPS"
+            if interleaved_qps is not None
+            else ""
+        ),
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"synthetic_{args.docs}_docs_growing_"
-                f"{args.growing}_batched_qps_top{args.k}",
-                "value": round(growing_qps, 2),
-                "unit": "queries/s",
-                "vs_baseline": round(growing_qps / 28.38, 2),
-                "platform": _platform(),
-                "sealed_only_qps": round(sealed_qps, 2),
-                "growing_over_sealed": round(growing_qps / sealed_qps, 3),
-            }
+    line = {
+        "metric": f"synthetic_{args.docs}_docs_growing_"
+        f"{args.growing}_batched_qps_top{args.k}",
+        "value": round(growing_qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(growing_qps / 28.38, 2),
+        "platform": _platform(),
+        "sealed_only_qps": round(sealed_qps, 2),
+        "growing_over_sealed": round(growing_qps / sealed_qps, 3),
+    }
+    if interleaved_qps is not None:
+        line["interleaved_qps"] = round(interleaved_qps, 2)
+        line["interleaved_over_growing"] = round(
+            interleaved_qps / growing_qps, 3
         )
-    )
+    print(json.dumps(line))
 
 
 def main():
@@ -417,6 +469,24 @@ def main():
         "the facade's sealed+growing merge path (VERDICT r2 #3 evidence)",
     )
     parser.add_argument(
+        "--growing-interleave",
+        type=int,
+        default=0,
+        help="with --growing: also time batches with N inserts landing "
+        "between every served batch (the lazy device-engine rebuild on "
+        "the serving path)",
+    )
+    parser.add_argument(
+        "--query-mix",
+        choices=["informative", "heavy"],
+        default="informative",
+        help="query-term df mix: informative = every term carries signal "
+        "(flat impacts, the worst case for skip-based pruning); heavy = "
+        "every query carries 1-2 Zipf-head common terms (the huge-"
+        "posting-list case the reference's WAND skipping targets, "
+        "search.rs:151-280)",
+    )
+    parser.add_argument(
         "--cache",
         default=None,
         help="directory to save/load the built segment (the multi-"
@@ -458,9 +528,12 @@ def main():
 
         tag = f"{args.docs}_{args.vocab}_{args.avg_len}"
         seg_path = os.path.join(args.cache, f"seg_{tag}.npz")
-        q_path = os.path.join(
-            args.cache, f"queries_{tag}_{args.queries}.npz"
+        qtag = (
+            f"{tag}_{args.queries}"
+            if args.query_mix == "informative"
+            else f"{tag}_{args.queries}_{args.query_mix}"
         )
+        q_path = os.path.join(args.cache, f"queries_{qtag}.npz")
         meta_path = os.path.join(args.cache, f"meta_{tag}.json")
         if all(os.path.exists(p) for p in (seg_path, meta_path)):
             with open(meta_path) as f:
@@ -481,7 +554,7 @@ def main():
                 # postings are gone; regenerating them takes hours at
                 # multi-million-doc scale on one host core).
                 queries = synth_queries_from_segment(
-                    seg, args.queries, args.vocab
+                    seg, args.queries, args.vocab, mix=args.query_mix
                 )
                 qk = np.concatenate([q.keys for q in queries]).astype(
                     "S16"
@@ -500,7 +573,12 @@ def main():
         seg = build_sealed_segment_from_postings(
             keys, doc_ids, tfs, args.docs, doc_grouped=True
         )
-        queries = synth_queries_fast(keys, doc_start, seg, args.queries)
+        if args.query_mix == "informative":
+            queries = synth_queries_fast(keys, doc_start, seg, args.queries)
+        else:
+            queries = synth_queries_from_segment(
+                seg, args.queries, args.vocab, mix=args.query_mix
+            )
         if args.cache:
             os.makedirs(args.cache, exist_ok=True)
             save_segment(seg, seg_path)
@@ -705,6 +783,7 @@ def main():
         "recall_vs_oracle": round(recall, 4),
         "engine": args.engine,
         "strategy": args.strategy,
+        "query_mix": args.query_mix,
         "device_bytes_per_posting": parity["device_bytes_per_posting"],
         "reference_bytes_per_posting": parity[
             "reference_bytes_per_posting"

@@ -147,3 +147,48 @@ class TestGrowingBatchThroughput:
             with_growing,
             sealed_only,
         )
+
+    def test_interleaved_insert_batch_serving(self, rng):
+        """Inserts landing BETWEEN served batches put the growing
+        segment's lazy O(G log G) device-engine rebuild on the serving
+        path every batch (index/growing.py device_engine).  The
+        interleaved workload must stay within a small constant of
+        steady-state growing serving — a rebuild-per-QUERY (or
+        rebuild-from-scratch-per-insert) regression is 10-50x here.
+        CPU timings are noisy so the bound is loose; `bench.py
+        --growing N --growing-interleave M` records the tight TPU
+        number (VERDICT r3 #8)."""
+        vocab = 2000
+        n_sealed, n_grow = 20_000, 10_000
+        docs = make_docs(rng, n_sealed, vocab=vocab, max_len=30)
+        idx = Bm25Index.build(docs, engine="stream")
+        extra = make_docs(rng, n_grow + 256, vocab=vocab, max_len=30)
+        for j, d in enumerate(extra[:n_grow]):
+            idx.insert(d, payload=n_sealed + j)
+        queries = _queries(rng, 256, vocab)
+        batches = [queries[i : i + 32] for i in range(0, 256, 32)]
+
+        idx.search_batch(queries[:32], k=10)  # warmup/compile
+        steady = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for b in batches:
+                idx.search_batch(b, k=10)
+            steady = min(steady, time.perf_counter() - t0)
+
+        burst = iter(extra[n_grow:])
+        t0 = time.perf_counter()
+        for bi, b in enumerate(batches):
+            for j in range(16):  # 16-doc insert burst between batches
+                idx.insert(next(burst), payload=100_000 + bi * 16 + j)
+            idx.search_batch(b, k=10)
+        interleaved = time.perf_counter() - t0
+
+        assert interleaved < 4 * steady + 0.5, (interleaved, steady)
+        # The interleaved inserts are served (no stale device engine):
+        # querying an inserted doc's own terms must return it.
+        last = extra[n_grow]  # payload 100_000 (first burst doc)
+        hits = idx.search_batch(
+            [Query(keys=last.keys[: min(4, last.keys.size)])], k=50
+        )
+        assert any(h.payload == 100_000 for h in hits[0])

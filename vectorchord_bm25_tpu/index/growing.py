@@ -46,11 +46,22 @@ class GrowingSegment:
         # rebuilt lazily after inserts (deletes don't touch it — the
         # delete bitmap is applied at scoring time).
         self._flat = None
-        # Lazily built device engine over the growing postings (batched
-        # serving); invalidated by inserts, delete-bitmap refreshed in
-        # place (cheap) — see device_engine().
+        # Lazily built device engine over a FROZEN PREFIX of the growing
+        # postings (batched serving).  Inserts do NOT invalidate it:
+        # fresh docs beyond `_dev_engine_n` form a small host-scored
+        # tail (the reference's brute-force growing chain,
+        # search.rs:83-135) merged into every batch, and the engine is
+        # rebuilt only when the tail outgrows the amortization
+        # threshold — otherwise an insert burst between served batches
+        # pays an O(G log G) rebuild per batch (measured 65x slowdown
+        # at G=10k before this design).  Delete bits are refreshed in
+        # place (cheap) — see device_engine() / topk_batch_async().
         self._dev_engine = None
+        self._dev_engine_n = 0
         self._dev_engine_deleted_dirty = False
+        # Flat tid-sorted postings of the tail [_dev_engine_n, G),
+        # f32 impacts; invalidated by inserts (tail-sized rebuild).
+        self._tail_flat = None
 
     def __len__(self) -> int:
         return len(self.documents)
@@ -69,7 +80,7 @@ class GrowingSegment:
         self._tid.append(tids.astype(np.int64))
         self._tf.append(document.values.astype(np.int64))
         self._flat = None
-        self._dev_engine = None
+        self._tail_flat = None
         return len(self.documents) - 1
 
     def bulkdelete(self, predicate) -> int:
@@ -233,7 +244,7 @@ class GrowingSegment:
         return scores
 
     def device_engine(self):
-        """StreamEngine over the growing postings for batched serving.
+        """StreamEngine over a frozen prefix of the growing postings.
 
         The growing docs are packed into a mini sealed segment whose
         "keys" are the sealed token ids (big-endian u32 in 16-byte
@@ -241,12 +252,14 @@ class GrowingSegment:
         the true fieldnorms (full document length, unknown terms
         included) overriding the build's known-terms-only lengths — so
         device scores equal the host scorer's
-        tf*s0_sealed/(tf+s1_sealed[fn]) in float32.  Rebuilt after
-        inserts; deletes only refresh the engine's bitmap.  This is how
-        a non-empty growing segment serves 4096-query batches without
-        O(Q x G) host work (the reference's per-query heap merge,
-        search.rs:83-135, is one backend = one query; our hot path is
-        the batch).
+        tf*s0_sealed/(tf+s1_sealed[fn]) in float32.  Covers the docs
+        present at build time (`_dev_engine_n`); docs inserted since
+        form the host-scored tail merged by topk_batch_async, which
+        also owns the rebuild policy.  Deletes only refresh the
+        engine's bitmap.  This is how a non-empty growing segment
+        serves 4096-query batches without O(Q x G) host work (the
+        reference's per-query heap merge, search.rs:83-135, is one
+        backend = one query; our hot path is the batch).
         """
         if self._dev_engine is None:
             from .sealed import build_sealed_segment_from_postings
@@ -312,13 +325,17 @@ class GrowingSegment:
                 s0v,
             )
             self._dev_engine = StreamEngine(seg, global_stats=stats)
+            self._dev_engine_n = g
+            self._tail_flat = None
             self._dev_engine.set_deleted(
                 np.asarray(self.deleted, dtype=bool)
             )
             self._dev_engine_deleted_dirty = False
         elif self._dev_engine_deleted_dirty:
             self._dev_engine.set_deleted(
-                np.asarray(self.deleted, dtype=bool)
+                np.asarray(
+                    self.deleted[: self._dev_engine_n], dtype=bool
+                )
             )
             self._dev_engine_deleted_dirty = False
         return self._dev_engine
@@ -327,14 +344,28 @@ class GrowingSegment:
         """Dispatch the growing top-k on device; returns finalize() ->
         (scores [Q, k] float64 -inf-padded, idx [Q, k] int64 -1-padded)
         ranked (score desc, id asc) — the merge-ready form of
-        topk_batch, overlappable with the sealed dispatch."""
+        topk_batch, overlappable with the sealed dispatch.
+
+        Two-level serving: the device engine covers the frozen prefix
+        [0, _dev_engine_n); docs inserted since are scored on host
+        (same f32 semantics) and merged — so an insert burst between
+        served batches costs O(tail), not an O(G log G) engine rebuild
+        per batch.  The engine is rebuilt (absorbing the tail) only
+        when the tail exceeds max(512, min(n0/8, 4096)) docs.
+        """
         g = len(self.documents)
         qn = len(queries)
         if g == 0 or qn == 0:
             s = np.full((qn, k), -np.inf, dtype=np.float64)
             i = np.full((qn, k), -1, dtype=np.int64)
             return lambda: (s, i)
+        n0 = self._dev_engine_n if self._dev_engine is not None else 0
+        if self._dev_engine is None or g - n0 > max(
+            512, min(n0 // 8, 4096)
+        ):
+            self._dev_engine = None  # rebuild absorbs the tail
         engine = self.device_engine()
+        n0 = self._dev_engine_n
         # Re-key queries into the mini segment's tid-space (one batched
         # lookup; within-query tids ascend because sealed tids are
         # sorted-key ranks, so the synthetic keys stay sorted).
@@ -355,17 +386,125 @@ class GrowingSegment:
         ]
         fmask = None
         if keep is not None:
-            fmask = np.asarray(keep, dtype=np.float32)
+            fmask = np.asarray(keep, dtype=np.float32)[:n0]
         fin = engine.search_async(gqueries, k, filter_mask=fmask)
+        tail = (
+            self._tail_topk(ids, qidx, qn, k, keep) if g > n0 else None
+        )
 
         def finalize():
-            s_f32, ids, _ = fin()
+            s_f32, dids, _ = fin()
             s = s_f32.astype(np.float64)
-            ids = np.asarray(ids, dtype=np.int64)
-            s[ids < 0] = -np.inf
-            return s, ids
+            dids = np.asarray(dids, dtype=np.int64)
+            s[dids < 0] = -np.inf
+            if tail is None:
+                return s, dids
+            ts, ti = tail
+            # Merge prefix + tail columns, re-rank (score desc, id asc)
+            # per query, keep k — both sides are -inf/-1 padded so the
+            # padding sorts last.
+            S = np.concatenate([s, ts], axis=1)
+            I = np.concatenate([dids, ti], axis=1)
+            w = S.shape[1]
+            qrow = np.repeat(np.arange(qn, dtype=np.int64), w)
+            order = np.lexsort((I.ravel(), -S.ravel(), qrow))
+            m = min(k, w)
+            S2 = S.ravel()[order].reshape(qn, w)[:, :m]
+            I2 = I.ravel()[order].reshape(qn, w)[:, :m]
+            if m < k:
+                S2 = np.pad(
+                    S2, ((0, 0), (0, k - m)), constant_values=-np.inf
+                )
+                I2 = np.pad(
+                    I2, ((0, 0), (0, k - m)), constant_values=-1
+                )
+            return S2, I2
 
         return finalize
+
+    def _tail_topk(self, ids, qidx, qn, k, keep):
+        """Host top-k over the tail docs [_dev_engine_n, G) — the
+        reference's brute-force growing-chain pass (search.rs:83-135)
+        applied to only the docs the device engine has not absorbed.
+        f32 impacts accumulated in (query, doc, term-ascending) order,
+        matching the device engine's lane accumulation, so prefix/tail
+        near-ties rank identically however the rebuild falls.
+
+        Returns (scores [Q, m] float64 -inf-padded, idx [Q, m] int64
+        GLOBAL growing ids, -1-padded), m = min(k, tail)."""
+        n0 = self._dev_engine_n
+        g = len(self.documents)
+        tn = g - n0
+        m = min(k, tn)
+        scores_out = np.full((qn, m), -np.inf, dtype=np.float64)
+        idx_out = np.full((qn, m), -1, dtype=np.int64)
+        if m == 0:
+            return scores_out, idx_out
+        if self._tail_flat is None or self._tail_flat[0] != n0:
+            tids = (
+                np.concatenate(self._tid[n0:])
+                if tn
+                else np.zeros(0, dtype=np.int64)
+            )
+            tfs = (
+                np.concatenate(self._tf[n0:]).astype(np.float32)
+                if tn
+                else np.zeros(0, dtype=np.float32)
+            )
+            doc_of = np.repeat(
+                np.arange(tn, dtype=np.int64),
+                [t.size for t in self._tid[n0:]],
+            )
+            known = tids >= 0
+            tids, tfs, doc_of = tids[known], tfs[known], doc_of[known]
+            order = np.argsort(tids, kind="stable")
+            tids, tfs, doc_of = tids[order], tfs[order], doc_of[order]
+            if tids.size:
+                tables = self.sealed.score_tables()
+                s0 = self.sealed.token_s0().astype(np.float32)
+                fn = np.asarray(self.fieldnorms, dtype=np.int64)[
+                    n0 + doc_of
+                ]
+                s1 = tables.s1_table[fn].astype(np.float32)
+                impact = (tfs * s0[tids]) / (tfs + s1)
+            else:
+                impact = np.zeros(0, dtype=np.float32)
+            self._tail_flat = (n0, tids, impact.astype(np.float32), doc_of)
+        _, tids, impact, doc_of = self._tail_flat
+        if tids.size == 0 or ids.size == 0:
+            return scores_out, idx_out
+        from ..utils.batchkeys import group_positions
+
+        lo = np.searchsorted(tids, ids, side="left")
+        hi = np.searchsorted(tids, ids, side="right")
+        cnt = hi - lo
+        if int(cnt.sum()) == 0:
+            return scores_out, idx_out
+        src = np.repeat(lo, cnt) + group_positions(cnt)
+        q_of = np.repeat(qidx, cnt)
+        d = doc_of[src]
+        imp = impact[src]
+        t_of = tids[src]
+        # f32 accumulation in (query, doc, tid-ascending) posting order
+        # — np.add.at applies in element order, matching the device.
+        acc_order = np.lexsort((t_of, d, q_of))
+        dense = np.zeros((qn, tn), dtype=np.float32)
+        np.add.at(
+            dense, (q_of[acc_order], d[acc_order]), imp[acc_order]
+        )
+        drop = np.asarray(self.deleted[n0:], dtype=bool)
+        if keep is not None:
+            drop = drop | ~np.asarray(keep, dtype=bool)[n0:]
+        if drop.any():
+            dense[:, drop] = 0.0
+        # Rank rows (score desc, id asc): stable argsort on -scores
+        # keeps ascending doc ids among ties.
+        top = np.argsort(-dense, axis=1, kind="stable")[:, :m]
+        s = np.take_along_axis(dense, top, axis=1).astype(np.float64)
+        live = s > 0.0
+        scores_out[live] = s[live]
+        idx_out[live] = (top + n0)[live]
+        return scores_out, idx_out
 
     def topk_batch(self, queries, k: int, keep=None):
         """Per-query top-m growing hits without the dense [Q, G] matrix.
