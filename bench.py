@@ -778,6 +778,7 @@ def main():
         "vs_baseline": round(best_qps / baseline, 2),
         "platform": _platform(),
         "rounds": args.rounds,
+        "batch": args.batch,
         "qps_min": round(qps_rounds[0], 2),
         "qps_max": round(qps_rounds[-1], 2),
         "recall_vs_oracle": round(recall, 4),
