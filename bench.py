@@ -669,6 +669,8 @@ def main():
                     if ms_agg is None:
                         ms_agg = {
                             "queries": 0,
+                            "batch_queries": 0,
+                            "routed_queries": 0,
                             "fallback_queries": 0,
                             "windows_total": 0,
                             "windows_phase1": 0,
@@ -676,6 +678,12 @@ def main():
                             "terms": 0,
                         }
                     ms_agg["queries"] += st["queries"]
+                    ms_agg["batch_queries"] += st.get(
+                        "batch_queries", st["queries"]
+                    )
+                    ms_agg["routed_queries"] += st.get(
+                        "routed_queries", st["queries"]
+                    )
                     ms_agg["fallback_queries"] += st["fallback_queries"]
                     for t in st["tiers"]:
                         for f in (
@@ -791,14 +799,18 @@ def main():
         ],
         "memory_ratio_vs_reference": parity["ratio_vs_reference"],
     }
-    if ms_agg is not None and ms_agg["windows_total"]:
-        line["ms_windows_phase1_frac"] = round(
-            ms_agg["windows_phase1"] / ms_agg["windows_total"], 4
-        )
+    if ms_agg is not None:
+        if ms_agg["windows_total"]:
+            line["ms_windows_phase1_frac"] = round(
+                ms_agg["windows_phase1"] / ms_agg["windows_total"], 4
+            )
         line["ms_fallback_queries"] = ms_agg["fallback_queries"]
         line["ms_certified_frac"] = round(
             1.0 - ms_agg["fallback_queries"] / max(1, ms_agg["queries"]),
             4,
+        )
+        line["ms_routed_frac"] = round(
+            ms_agg["routed_queries"] / max(1, ms_agg["batch_queries"]), 4
         )
         line["ms_excluded_terms"] = ms_agg["excluded_terms"]
         line["ms_terms"] = ms_agg["terms"]

@@ -340,23 +340,64 @@ class TestMaxScore:
         assert np.array_equal(i_m, i_e)
         assert ms.last_ms_stats is not None
 
-    def test_auto_routes_through_maxscore_at_scale(self, rng, monkeypatch):
-        """strategy='auto' serves the pruned MaxScore path once the
-        corpus crosses SPARSE_MIN_DOCS (certification falls back to
-        sparse per query, so results stay oracle-exact)."""
-        seg = random_segment(rng, 3000, 80, 9000, tf_hi=5)
+    def test_auto_routes_per_query_at_scale(self, rng, monkeypatch):
+        """strategy='auto' at scale routes PER QUERY: only queries
+        whose tier-1 bound structure predicts profitable skipping take
+        the pruned path (_ms_route), the rest the exhaustive sparse
+        scan — measured at 8.4M the pruned path is 2.4x slower on
+        informative queries (DESIGN.md round 4), so corpus size alone
+        must not force it.  Results are oracle-exact at every router
+        setting, including both extremes."""
+        from bench import synth_corpus_postings
+
+        n = 32768
+        keys, doc_ids, tfs, _ = synth_corpus_postings(n, 10000, 50)
+        seg = build_sealed_segment_from_postings(
+            keys, doc_ids, tfs, n, doc_grouped=True
+        )
+        # Mixed workload: common-term-heavy + selective queries.
         queries = [
-            Query.from_int_ids(rng.integers(0, 80, size=3).tolist())
-            for _ in range(16)
+            Query.from_int_ids(
+                np.unique(
+                    np.concatenate(
+                        [
+                            rng.integers(0, 12, size=2),
+                            rng.integers(200, 10000, size=2),
+                        ]
+                    )
+                ).tolist()
+            )
+            for _ in range(12)
+        ] + [
+            Query.from_int_ids(
+                rng.integers(200, 10000, size=4).tolist()
+            )
+            for _ in range(12)
         ]
         monkeypatch.setattr(StreamEngine, "SPARSE_MIN_DOCS", 1000)
-        auto = StreamEngine(seg, strategy="auto")
-        s_a, i_a, _ = auto.search(queries, 10)
-        assert auto.last_ms_stats is not None  # pruned path ran
         ex = StreamEngine(seg, strategy="sparse")
         s_e, i_e, _ = ex.search(queries, 10)
+        auto = StreamEngine(seg, strategy="auto")
+        s_a, i_a, _ = auto.search(queries, 10)
         assert np.array_equal(i_a, i_e)
+        st = auto.last_ms_stats
+        assert st is not None and st["batch_queries"] == len(queries)
+        assert 0 <= st["routed_queries"] <= len(queries)
+        # Router extremes must both stay exact: route everything...
+        monkeypatch.setattr(StreamEngine, "MS_ROUTE_FRAC", 1.0)
+        monkeypatch.setattr(StreamEngine, "MS_ROUTE_MIN_WINDOWS", 0)
+        allms = StreamEngine(seg, strategy="auto")
+        s_1, i_1, _ = allms.search(queries, 10)
+        assert np.array_equal(i_1, i_e)
+        assert allms.last_ms_stats["routed_queries"] == len(queries)
+        # ... and route nothing (pure exhaustive sparse).
+        monkeypatch.setattr(StreamEngine, "MS_ROUTE_FRAC", -1.0)
+        noms = StreamEngine(seg, strategy="auto")
+        s_0, i_0, _ = noms.search(queries, 10)
+        assert np.array_equal(i_0, i_e)
+        assert noms.last_ms_stats["routed_queries"] == 0
         # k > MS_MAX_K still serves exhaustively (no pruned-path stats).
+        monkeypatch.setattr(StreamEngine, "MS_ROUTE_FRAC", 0.35)
         auto2 = StreamEngine(seg, strategy="auto")
         s_a2, i_a2, _ = auto2.search(queries, 1500)
         assert auto2.last_ms_stats is None

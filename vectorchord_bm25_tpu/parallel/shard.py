@@ -1070,12 +1070,46 @@ class ShardedIndex:
             [v.doc_offset for v in self.views], dtype=np.int64
         )
 
+        # Per-query routing for strategy='auto' (same predicted-work
+        # rule as StreamEngine._ms_route, summed across shards): only
+        # queries whose tier-1 prefixes keep a small fraction of a
+        # large window set take the pruned tiers — the rest go
+        # straight to the exhaustive sharded scan (measured at 8.4M
+        # single-chip: the pruned path is 2.4x slower on informative
+        # queries, DESIGN.md round 4).
+        routed_mask = np.ones(qn, dtype=bool)
+        if self.strategy == "auto":
+            tau1 = StreamEngine.MS_TIERS[0][0]
+            tot = np.zeros(qn, dtype=np.float64)
+            ph1 = np.zeros(qn, dtype=np.float64)
+            for si in range(d):
+                lids, qs = shard_terms[si]
+                order, bounds = tabs[si]
+                tws = self._streams[si].token_w_start
+                lo, hi, cut, _, _ = _ms_prefix_prep(
+                    order, bounds, tws, lids, qs, qn, tau1, 0.0
+                )
+                tot += np.bincount(
+                    qs, weights=(hi - lo).astype(np.float64),
+                    minlength=qn,
+                )
+                ph1 += np.bincount(
+                    qs, weights=cut.astype(np.float64), minlength=qn
+                )
+            frac = np.where(tot > 0, ph1 / np.maximum(tot, 1.0), 1.0)
+            routed_mask = (
+                tot >= StreamEngine.MS_ROUTE_MIN_WINDOWS
+            ) & (frac <= StreamEngine.MS_ROUTE_FRAC)
+        not_routed = np.flatnonzero(~routed_mask).astype(np.int64)
+
         res_s = np.full((d, qn, k), -np.inf, dtype=np.float32)
         res_i = np.zeros((d, qn, k), dtype=np.int64)
         cert = np.zeros((d, qn), dtype=bool)
-        active = np.arange(qn, dtype=np.int64)
+        active = np.flatnonzero(routed_mask).astype(np.int64)
         tiers_stats = []
         for tau_frac, pool_min, _ in StreamEngine.MS_TIERS:
+            if active.size == 0:
+                break
             a = active.size
             remap = np.full(qn, -1, dtype=np.int64)
             remap[active] = np.arange(a)
@@ -1303,11 +1337,17 @@ class ShardedIndex:
                 fb_scanned += int(wcnt[~certm].sum())
         self.last_ms_stats = {
             "queries": qn,
+            "batch_queries": qn,
+            "routed_queries": int(routed_mask.sum()),
             "tiers": tiers_stats,
             "fallback_queries": int(active.size),
             "fallback_windows_scanned": fb_scanned,
             "fallback_windows_skipped": fb_skipped,
         }
+
+        # Certification fallbacks + router-rejected queries take the
+        # exhaustive sharded scan together.
+        active = np.sort(np.concatenate([active, not_routed]))
 
         # Merge certified queries' per-shard top-ks host-side.
         done = np.setdiff1d(

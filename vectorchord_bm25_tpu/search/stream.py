@@ -599,6 +599,17 @@ class StreamEngine:
     #: truncation bound) before the exhaustive fallback — still far
     #: cheaper than scoring every posting for the retried queries.
     MS_TIERS = ((0.5, 512, None), (0.25, 2048, 0.0))
+    #: Per-query routing thresholds for strategy='auto' at scale.  A
+    #: query goes to the pruned path only when the tier-1 bound
+    #: structure predicts enough skippable work to beat the exhaustive
+    #: sparse scan: measured at 8.4M docs (artifacts/
+    #: bench_8m_{sparse,maxscore}_r04.json), 4-term similar-idf
+    #: informative queries keep 70% of their windows through the
+    #: phase-1 prefix and the pruned path runs 2.4x SLOWER than
+    #: exhaustive-sparse — pruning must be predicted profitable per
+    #: query, never assumed from corpus size.
+    MS_ROUTE_FRAC = 0.35
+    MS_ROUTE_MIN_WINDOWS = 256
     #: Deepest k the pruned path serves (the reference's WAND serves
     #: any LIMIT, gucs.rs caps bm25.limit at 65535; the partial pool
     #: here must hold ~16k candidates, so k=1000 north-star retrieval
@@ -607,6 +618,41 @@ class StreamEngine:
     MS_MAX_K = 1024
     #: Partial-pool ceiling (entries per query per tier).
     MS_POOL_CAP = 16384
+
+    def _ms_route(self, queries):
+        """Predicted-work router for strategy='auto' at scale: True for
+        queries the pruned path should serve.
+
+        Cost model: the pruned path pays ~frac x the exhaustive window
+        scan plus fixed rescore/pool overhead, so it wins only when the
+        tier-1 prefix keeps a small fraction of a LARGE window set —
+        i.e. the query carries common terms whose flat low bounds the
+        exclusion rule can drop (the case the reference's WAND skip
+        machinery targets, search.rs:151-280).  Selective queries
+        (small window sets) and flat-impact informative queries route
+        to the exhaustive sparse scan, which is already near the HBM
+        roofline for them."""
+        qn = len(queries)
+        ids, qidx = batch_lookup(self.segment.lookup_tokens, queries)
+        if ids.size == 0:
+            return np.zeros(qn, dtype=bool)
+        order, bounds = self._maxscore_tables()
+        tws = self.stream.token_w_start
+        tau_frac, _, excl_over = self.MS_TIERS[0]
+        lo, hi, cut, _, _ = _ms_prefix_prep(
+            order, bounds, tws, ids, qidx, qn, tau_frac,
+            self.ms_exclude if excl_over is None else excl_over,
+        )
+        tot = np.bincount(
+            qidx, weights=(hi - lo).astype(np.float64), minlength=qn
+        )
+        ph1 = np.bincount(
+            qidx, weights=cut.astype(np.float64), minlength=qn
+        )
+        frac = np.where(tot > 0, ph1 / np.maximum(tot, 1.0), 1.0)
+        return (tot >= self.MS_ROUTE_MIN_WINDOWS) & (
+            frac <= self.MS_ROUTE_FRAC
+        )
 
     def _maxscore_phase(self, queries, k, fm_dev, n_terms):
         """Tiered two-phase pruned exact top-k (strategy='maxscore').
@@ -854,20 +900,23 @@ class StreamEngine:
         queries = list(queries)
         qn = len(queries)
         n_docs = self.n_docs
-        # At multi-million-doc scale 'auto' serves through the pruned
-        # MaxScore path: certification is per-query with a sparse
-        # fallback, so it is a strict work reduction over the
-        # exhaustive sparse scan (the tiered retry certifies ~all
-        # queries scoring a small fraction of their matched windows,
-        # and the dispatch payload shrinks with the scored windows —
-        # see DESIGN.md).  k > MS_MAX_K exceeds the partial-pool design
-        # and serves exhaustively.
+        # Strategy routing.  'maxscore' forces every query through the
+        # pruned path (k > MS_MAX_K exceeds the partial-pool design and
+        # serves exhaustively).  At multi-million-doc scale 'auto'
+        # routes PER QUERY: only queries whose tier-1 bound structure
+        # predicts profitable skipping go through the pruned path
+        # (_ms_route; measured at 8.4M the pruned path is 2.4x slower
+        # than exhaustive-sparse on informative queries — DESIGN.md
+        # round-4 measurement); the rest take the exhaustive sparse
+        # scan, as do per-query certification fallbacks.
         at_scale = n_docs >= self.SPARSE_MIN_DOCS
-        use_maxscore = k <= self.MS_MAX_K and (
-            self.strategy == "maxscore"
-            or (self.strategy == "auto" and at_scale)
-        )
-        use_sparse = not use_maxscore and (
+        ms_sel = None
+        if k <= self.MS_MAX_K:
+            if self.strategy == "maxscore":
+                ms_sel = np.arange(qn, dtype=np.int64)
+            elif self.strategy == "auto" and at_scale:
+                ms_sel = np.flatnonzero(self._ms_route(queries))
+        use_sparse = ms_sel is None and (
             self.strategy in ("sparse", "maxscore")
             or (self.strategy == "auto" and at_scale)
         )
@@ -893,14 +942,35 @@ class StreamEngine:
         )
         pending = []
         sparse_sel = np.arange(qn, dtype=np.int64)
-        if use_maxscore:
-            ms_pending, sparse_sel = self._maxscore_phase(
-                queries, k, fm_dev, n_terms
-            )
-            pending.extend(ms_pending)
+        if ms_sel is not None:
+            if ms_sel.size:
+                sub_q = (
+                    queries
+                    if ms_sel.size == qn
+                    else [queries[i] for i in ms_sel]
+                )
+                ms_pending, fb_local = self._maxscore_phase(
+                    sub_q, k, fm_dev, n_terms[ms_sel]
+                )
+                for qs_local, data in ms_pending:
+                    pending.append((ms_sel[qs_local], data))
+                not_routed = np.setdiff1d(
+                    sparse_sel, ms_sel, assume_unique=True
+                )
+                sparse_sel = np.sort(
+                    np.concatenate([not_routed, ms_sel[fb_local]])
+                )
+            stats = self.last_ms_stats or {
+                "queries": 0,
+                "tiers": [],
+                "fallback_queries": 0,
+            }
+            stats["batch_queries"] = qn
+            stats["routed_queries"] = int(ms_sel.size)
+            self.last_ms_stats = stats
             use_sparse = sparse_sel.size > 0
 
-        if not use_sparse and not use_maxscore:
+        if not use_sparse and ms_sel is None:
             # Flat dense dispatch: contiguous query chunks bounded by the
             # accumulator budget and a window-lane cap; per-dispatch host
             # transfer is 8 B per window (ids only).
