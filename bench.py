@@ -295,7 +295,15 @@ def run_dataset_bench(args) -> None:
     )
     # Rank parity vs the float64 oracle; at multi-million-doc scale the
     # per-query scalar oracle is the cost, so cap the audited subset.
-    psample = min(len(queries), 512 if ds.n_docs > 2_000_000 else len(queries))
+    if args.recall_sample is not None:
+        psample = min(len(queries), args.recall_sample)
+    elif ds.n_docs > 500_000:
+        # The audit is serial: one device search + one f64 scalar oracle
+        # scan per query — the oracle scan is the cost at scale, not the
+        # engine (~0.5 s/query at 1M docs).
+        psample = min(len(queries), 256)
+    else:
+        psample = len(queries)
     mismatches = oracle_rank_parity(
         ds, index, k=args.k, queries=queries[:psample]
     )
