@@ -47,16 +47,22 @@ def _load_or_build(n_docs, vocab, avg_len, n_queries, cache):
         seg_path = os.path.join(cache, f"seg_{tag}.npz")
         meta_path = os.path.join(cache, f"meta_{tag}.json")
         q_path = os.path.join(cache, f"queries_{tag}_{n_queries}.npz")
-        if all(os.path.exists(p) for p in (seg_path, meta_path, q_path)):
+        # A cached segment is ALWAYS reused, even when the exact query
+        # cache file is absent (bench.py caches queries under
+        # mix/count-specific names) — regenerating queries from the
+        # segment is seconds, regenerating a multi-million-doc corpus is
+        # an hour of host time.
+        if all(os.path.exists(p) for p in (seg_path, meta_path)):
             with open(meta_path) as f:
                 m = json.load(f)
             seg = load_segment(seg_path, IndexOptions(), m["n_docs"], m["sum_dl"])
-            qz = np.load(q_path)
-            qk, qoff = qz["keys"], qz["offsets"]
-            queries = [
-                Query(keys=qk[qoff[i] : qoff[i + 1]])
-                for i in range(len(qoff) - 1)
-            ]
+            if os.path.exists(q_path):
+                qz = np.load(q_path)
+                qk, qoff = qz["keys"], qz["offsets"]
+                queries = [
+                    Query(keys=qk[qoff[i] : qoff[i + 1]])
+                    for i in range(len(qoff) - 1)
+                ]
     if seg is None:
         keys, doc_ids, tfs, doc_start = synth_corpus_postings(
             n_docs, vocab, avg_len
