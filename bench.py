@@ -304,9 +304,15 @@ def run_dataset_bench(args) -> None:
         psample = min(len(queries), 256)
     else:
         psample = len(queries)
-    mismatches = oracle_rank_parity(
-        ds, index, k=args.k, queries=queries[:psample]
-    )
+    try:
+        mismatches = oracle_rank_parity(
+            ds, index, k=args.k, queries=queries[:psample]
+        )
+    except Exception as e:
+        # The timed rounds above already succeeded; a device-tunnel
+        # failure during the serial audit must not discard them — emit
+        # the JSON line with the audit marked failed instead.
+        mismatches = f"audit_error: {e}"
     print(
         f"{ds.name}: {ds.n_docs} docs, {ds.n_queries} queries | "
         f"oracle rank-parity mismatches@{args.k}: {mismatches}",
@@ -735,8 +741,12 @@ def main():
     for b in batches:
         if taken >= rs:
             break
-        audit.append(b)
-        taken += len(b)
+        # Trim to the cap: appending whole batches audited up to a full
+        # batch (4096 queries at the default) regardless of the cap —
+        # hours of serial f64 oracle scans at multi-million-doc scale.
+        take = min(len(b), rs - taken)
+        audit.append(b[:take])
+        taken += take
     hits = 0
     total = 0
     tie_swaps = 0

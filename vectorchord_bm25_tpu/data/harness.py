@@ -163,7 +163,19 @@ def oracle_rank_parity(
     seg = index.sealed
     rtol = 1e-6  # ~8 float32 ulps; real rank bugs differ far more
     for query in queries:
-        hits = index.search(query, k=k)
+        try:
+            hits = index.search(query, k=k)
+        except Exception as e:  # pragma: no cover - tunnel-only path
+            # The audit runs after the timed rounds; a transient device
+            # tunnel error here (e.g. remote_compile connection reset)
+            # must not discard a completed measurement. One retry after
+            # a pause, then re-raise.
+            if "INTERNAL" not in str(e):
+                raise
+            import time as _time
+
+            _time.sleep(15.0)
+            hits = index.search(query, k=k)
         got = [h.payload for h in hits]
         _, o_ids = oracle_topk(seg, query, k, dtype=np.float64)
         expect = [int(seg.doc_payload[i]) for i in o_ids]
