@@ -304,6 +304,7 @@ def run_dataset_bench(args) -> None:
         psample = min(len(queries), 256)
     else:
         psample = len(queries)
+    audit_error = None
     try:
         mismatches = oracle_rank_parity(
             ds, index, k=args.k, queries=queries[:psample]
@@ -311,27 +312,32 @@ def run_dataset_bench(args) -> None:
     except Exception as e:
         # The timed rounds above already succeeded; a device-tunnel
         # failure during the serial audit must not discard them — emit
-        # the JSON line with the audit marked failed instead.
-        mismatches = f"audit_error: {e}"
+        # the JSON line with the audit marked failed instead.  The
+        # parity field stays numeric-or-null so consumers never see a
+        # type change (ADVICE r4).
+        mismatches = None
+        audit_error = str(e)
     print(
         f"{ds.name}: {ds.n_docs} docs, {ds.n_queries} queries | "
-        f"oracle rank-parity mismatches@{args.k}: {mismatches}",
+        f"oracle rank-parity mismatches@{args.k}: {mismatches} "
+        f"({psample} queries audited)"
+        + (f" | audit_error: {audit_error}" if audit_error else ""),
         file=sys.stderr,
     )
     baseline = 28.38  # reference trec-covid QPS (README.md:389-394)
-    print(
-        json.dumps(
-            {
-                "metric": f"{ds.name}_qps_top1000_full_queryset",
-                "value": round(qps, 2),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / baseline, 2),
-                "platform": _platform(),
-                **metrics,
-                "oracle_parity_mismatches": mismatches,
-            }
-        )
-    )
+    line = {
+        "metric": f"{ds.name}_qps_top1000_full_queryset",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / baseline, 2),
+        "platform": _platform(),
+        **metrics,
+        "oracle_parity_mismatches": mismatches,
+        "oracle_parity_audited": psample,
+    }
+    if audit_error is not None:
+        line["audit_error"] = audit_error
+    print(json.dumps(line))
 
 
 def run_growing_bench(args, seg, engine, batches) -> None:
@@ -659,8 +665,17 @@ def main():
         run_growing_bench(args, seg, engine, batches)
         return
 
-    # Warmup (compile).
-    engine.search(batches[0], args.k)
+    # Warmup (compile): one full untimed pass so EVERY cost-bucket shape
+    # compiles before the timed rounds — warming only batches[0] left
+    # round 1 paying per-bucket compilation, making qps_min an 8x
+    # outlier at 8.4M docs (VERDICT r4 weak #2).  qps_min/qps_max now
+    # measure run variance, not compilation.
+    if hasattr(engine, "search_async"):
+        for fin in [engine.search_async(b, args.k) for b in batches]:
+            fin()
+    else:
+        for b in batches:
+            engine.search(b, args.k)
 
     use_async = hasattr(engine, "search_async")
     qps_rounds = []

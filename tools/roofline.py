@@ -92,16 +92,34 @@ def _load_or_build(n_docs, vocab, avg_len, n_queries, cache):
     return seg, queries[:n_queries], stream
 
 
-def _timeit(run, n_iter=20):
+def _fetch(r):
+    """Host-fetch every output leaf — the only TRUE sync over the axon
+    device tunnel: jax.block_until_ready returns before execution there
+    (measured: 20 identical 256 MB reductions 'complete' in 0.7 ms
+    total), so timing loops synced by it report multiples of the HBM
+    speed-of-light.  np.asarray forces the result bytes to the host."""
     import jax
 
-    jax.block_until_ready(run())  # compile + warm
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(r)]
+
+
+def _timeit(run, n_iter=20):
+    """Per-dispatch device time with the tunnel fetch RTT cancelled:
+    time 1 dispatch+fetch, then n_iter pipelined dispatches + 1 fetch;
+    the difference divided by n_iter-1 is the marginal dispatch cost.
+    `run(i)` takes the iteration index so callers can vary an input per
+    iteration (defeats any identical-dispatch caching in the tunnel)."""
+    _fetch(run(0))  # compile + warm
+    t0 = time.perf_counter()
+    _fetch(run(0))
+    t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = None
-    for _ in range(n_iter):
-        r = run()
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n_iter
+    for i in range(n_iter):
+        r = run(i % 8)
+    _fetch(r)
+    tn = time.perf_counter() - t0
+    return max((tn - t1) / max(n_iter - 1, 1), 1e-9)
 
 
 def roofline_dense(seg, queries, k=16, stream=None):
@@ -119,7 +137,12 @@ def roofline_dense(seg, queries, k=16, stream=None):
     from vectorchord_bm25_tpu.utils.buckets import bucket_pow2 as _bucket
 
     eng = StreamEngine(seg, stream=stream)
-    n_docs, qn = seg.n_docs, len(queries)
+    n_docs = seg.n_docs
+    # The flat int32 scatter requires n_q*(n_docs+1) < 2^31 (the engine
+    # sub-batches by accumulator budget; the roofline must cap directly).
+    q_cap = (2**31 - 1) // (n_docs + 1)
+    queries = queries[: max(8, min(len(queries), q_cap, 1 << 20))]
+    qn = len(queries)
     (wsrc_all, starts, sizes), _ = eng._win_lists(queries)
     t = int(wsrc_all.size)
     tb = _bucket(max(t, 1), 128)
@@ -129,14 +152,20 @@ def roofline_dense(seg, queries, k=16, stream=None):
     wq[:t] = np.repeat(np.arange(qn, dtype=np.int32), sizes)
     dw, tw = _active_widths(eng.stream.w_meta[wsrc_all])
     n_qb = _bucket(qn, 8)
-    fm = jnp.ones(n_docs + 1, dtype=jnp.float32)
+    # Per-iteration distinct filter masks: the tunnel may collapse
+    # byte-identical repeated dispatches, so each timed iteration must
+    # be a distinct computation (same shapes -> one compilation).
+    fms = [
+        jnp.full(n_docs + 1, 1.0 + 1e-6 * i, dtype=jnp.float32)
+        for i in range(8)
+    ]
     ws_d, wq_d = jnp.asarray(wsrc), jnp.asarray(wq)
 
-    def run():
+    def run(i):
         return _jitted_stream_dense()(
             eng.dev_words, eng.dev_doc_fn, eng.dev_s1,
             eng.dev_w_off, eng.dev_w_base, eng.dev_w_meta, eng.dev_w_s0,
-            ws_d, wq_d, fm, k=k, n_docs=n_docs, n_q=n_qb,
+            ws_d, wq_d, fms[i], k=k, n_docs=n_docs, n_q=n_qb,
             dwidths=dw, twidths=tw,
         )
 
@@ -178,15 +207,18 @@ def roofline_sparse(seg, queries, k=16, stream=None):
     ids, src = eng._assemble(lists, sub)
     dw, tw = _active_widths(eng.stream.w_meta[src])
     mt = int(max(1, n_terms.max(initial=1)))
-    fm = jnp.ones(n_docs + 1, dtype=jnp.float32)
+    fms = [
+        jnp.full(n_docs + 1, 1.0 + 1e-6 * i, dtype=jnp.float32)
+        for i in range(8)
+    ]
     ids_d = jnp.asarray(ids)
     kk = min(_bucket(k, 1), max(n_docs, 1))
 
-    def run():
+    def run(i):
         return _jitted_stream_sparse()(
             eng.dev_words, eng.dev_doc_fn, eng.dev_s1,
             eng.dev_w_off, eng.dev_w_base, eng.dev_w_meta, eng.dev_w_s0,
-            ids_d, fm, k=kk, n_docs=n_docs,
+            ids_d, fms[i], k=kk, n_docs=n_docs,
             seg_steps=int(mt - 1).bit_length(), dwidths=dw, twidths=tw,
         )
 

@@ -61,19 +61,28 @@ def main() -> None:
 
     # Flatten the [B, 128] blocks back to (token_id, doc, tf) postings in
     # (token, doc) order (blocks are doc-ascending within each token).
+    # int32 throughout (docs/tfs are stored int32 in the blocks; token
+    # ids fit int32 by the segment's own vocab bound) and intermediates
+    # freed before the rebuild: at the 8.4M source (~670M postings) the
+    # earlier int64 flatten held ~16 GB of transient host arrays on top
+    # of the loaded segment (ADVICE r4).
     blocks_per_tok = np.diff(seg.token_block_start)
     blk_tok = np.repeat(
-        np.arange(seg.token_keys.size, dtype=np.int64), blocks_per_tok
+        np.arange(seg.token_keys.size, dtype=np.int32), blocks_per_tok
     )
     lane = np.arange(128, dtype=np.int32)[None, :]
     live = lane < seg.block_n[:, None]
     tok_ids = np.repeat(blk_tok, seg.block_n.astype(np.int64))
-    docs = seg.block_docids[live].astype(np.int64)
-    tfs = seg.block_tfs[live].astype(np.int64)
+    del blk_tok
+    docs = seg.block_docids[live]
+    tfs = seg.block_tfs[live]
+    del live, lane
+    n_src = docs.size
     keep = docs < args.dst
     tok_ids, docs, tfs = tok_ids[keep], docs[keep], tfs[keep]
+    del keep
     print(
-        f"sliced {keep.size} -> {docs.size} postings "
+        f"sliced {n_src} -> {docs.size} postings "
         f"({time.time() - t0:.0f}s)",
         flush=True,
     )

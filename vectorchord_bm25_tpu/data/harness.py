@@ -169,8 +169,24 @@ def oracle_rank_parity(
             # The audit runs after the timed rounds; a transient device
             # tunnel error here (e.g. remote_compile connection reset)
             # must not discard a completed measurement. One retry after
-            # a pause, then re-raise.
-            if "INTERNAL" not in str(e):
+            # a pause, then re-raise.  Gate on the transient transport
+            # markers actually observed — a generic "INTERNAL" substring
+            # also matched deterministic XLA compile errors, wasting the
+            # 15 s sleep before re-raising (ADVICE r4).
+            msg = str(e)
+            transient = any(
+                t in msg
+                for t in (
+                    "UNAVAILABLE",
+                    "DEADLINE_EXCEEDED",
+                    "connection reset",
+                    "Connection reset",
+                    "socket closed",
+                    "stream terminated",
+                    "remote_compile",
+                )
+            )
+            if not transient:
                 raise
             import time as _time
 
