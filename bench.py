@@ -293,6 +293,14 @@ def run_dataset_bench(args) -> None:
         ds, index, k=1000, batch=args.batch, queries=queries,
         rounds=args.rounds,
     )
+    # Quality metrics need the k=1000 run above; the serving operating
+    # point the baseline names is top-10 — time that too when asked.
+    qps_at_k = None
+    if args.k != 1000:
+        _, _, qps_at_k = run_dataset(
+            ds, index, k=args.k, batch=args.batch, queries=queries,
+            rounds=args.rounds,
+        )
     # Rank parity vs the float64 oracle; at multi-million-doc scale the
     # per-query scalar oracle is the cost, so cap the audited subset.
     if args.recall_sample is not None:
@@ -335,6 +343,8 @@ def run_dataset_bench(args) -> None:
         "oracle_parity_mismatches": mismatches,
         "oracle_parity_audited": psample,
     }
+    if qps_at_k is not None:
+        line[f"qps_top{args.k}"] = round(qps_at_k, 2)
     if audit_error is not None:
         line["audit_error"] = audit_error
     print(json.dumps(line))

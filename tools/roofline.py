@@ -138,10 +138,13 @@ def roofline_dense(seg, queries, k=16, stream=None):
 
     eng = StreamEngine(seg, stream=stream)
     n_docs = seg.n_docs
-    # The flat int32 scatter requires n_q*(n_docs+1) < 2^31 (the engine
+    # The flat int32 scatter requires n_qb*(n_docs+1) < 2^31 where n_qb
+    # is the BUCKETED query count the jit pads up to (the engine
     # sub-batches by accumulator budget; the roofline must cap directly).
-    q_cap = (2**31 - 1) // (n_docs + 1)
-    queries = queries[: max(8, min(len(queries), q_cap, 1 << 20))]
+    qn = max(8, min(len(queries), 1 << 20))
+    while _bucket(qn, 8) * (n_docs + 1) > 2**31 - 1 and qn > 8:
+        qn = max(8, _bucket(qn, 8) // 2)
+    queries = queries[:qn]
     qn = len(queries)
     (wsrc_all, starts, sizes), _ = eng._win_lists(queries)
     t = int(wsrc_all.size)
