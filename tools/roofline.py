@@ -208,6 +208,13 @@ def roofline_sparse(seg, queries, k=16, stream=None):
     lists, n_terms = eng._win_lists(queries)
     sub = np.arange(qn, dtype=np.int64)
     ids, src = eng._assemble(lists, sub)
+    # One un-bucketed dispatch pads every query to the batch-max window
+    # count; cap total lanes so big corpora don't OOM HBM (the served
+    # path avoids this via cost buckets + sub-batching).
+    LANE_BUDGET = 140_000_000
+    q_keep = max(8, min(qn, LANE_BUDGET // max(ids.shape[1] * 128, 1)))
+    if q_keep < qn:
+        ids, qn = ids[:q_keep], q_keep
     dw, tw = _active_widths(eng.stream.w_meta[src])
     mt = int(max(1, n_terms.max(initial=1)))
     fms = [
