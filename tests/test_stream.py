@@ -403,6 +403,16 @@ class TestMaxScore:
         assert auto2.last_ms_stats is None
         s_e2, i_e2, _ = ex.search(queries, 1500)
         assert np.array_equal(i_a2, i_e2)
+        # Deep k within the pool bound (MS_ROUTE_MAX_K < k <= MS_MAX_K):
+        # 'auto' must NOT route — measured at 8.4M/k=1000 routing loses
+        # 2.3x (artifacts/bench_8m_{auto,sparse}_k1000_r05.json) — but
+        # explicit strategy='maxscore' still serves it pruned.
+        k_deep = StreamEngine.MS_ROUTE_MAX_K + 1
+        auto3 = StreamEngine(seg, strategy="auto")
+        s_a3, i_a3, _ = auto3.search(queries, k_deep)
+        assert auto3.last_ms_stats is None
+        s_e3, i_e3, _ = ex.search(queries, k_deep)
+        assert np.array_equal(i_a3, i_e3)
 
     def test_k_above_pool_falls_back(self, rng):
         # k > MS_MAX_K (1024) routes every query through the exhaustive

@@ -2018,11 +2018,16 @@ class ShardedIndex:
         if self.engine == "stream":
             from ..search.stream import StreamEngine
 
+            # Same auto k-gate as the single-chip engine: routing to
+            # the pruned path loses at deep k (measured 2.3x at
+            # 8.4M/k=1000, bench_8m_{auto,sparse}_k1000_r05.json);
+            # explicit 'maxscore' serves any k <= MS_MAX_K.
             use_ms = k <= StreamEngine.MS_MAX_K and (
                 self.strategy == "maxscore"
                 or (
                     self.strategy == "auto"
                     and self._nmax >= StreamEngine.SPARSE_MIN_DOCS
+                    and k <= StreamEngine.MS_ROUTE_MAX_K
                 )
             )
             if use_ms:

@@ -610,6 +610,19 @@ class StreamEngine:
     #: query, never assumed from corpus size.
     MS_ROUTE_FRAC = 0.35
     MS_ROUTE_MIN_WINDOWS = 256
+    #: 'auto' routes to the pruned path only at k <= this.  The pruned
+    #: path's cost grows with k (certification needs the kth EXACT
+    #: score, so pools sort ~16x more entries at k=1000) while its
+    #: traction shrinks (a deep kth score is a low threshold the
+    #: bounds rarely clear): measured at 8.4M docs, k=1000, routing
+    #: LOSES 2.3x on the informative mix (29.15 QPS routed vs 66.56
+    #: exhaustive, artifacts/bench_8m_{auto,sparse}_k1000_r05.json)
+    #: and is at best break-even on the heavy mix (3.08 vs ~3.3),
+    #: while at k=10 it WINS both mixes (DESIGN.md round-5 table).
+    #: 128 covers the top-10/top-100 serving regime the win is
+    #: measured in; explicit strategy='maxscore' still serves any
+    #: k <= MS_MAX_K pruned.
+    MS_ROUTE_MAX_K = 128
     #: Deepest k the pruned path serves (the reference's WAND serves
     #: any LIMIT, gucs.rs caps bm25.limit at 65535; the partial pool
     #: here must hold ~16k candidates, so k=1000 north-star retrieval
@@ -914,7 +927,11 @@ class StreamEngine:
         if k <= self.MS_MAX_K:
             if self.strategy == "maxscore":
                 ms_sel = np.arange(qn, dtype=np.int64)
-            elif self.strategy == "auto" and at_scale:
+            elif (
+                self.strategy == "auto"
+                and at_scale
+                and k <= self.MS_ROUTE_MAX_K
+            ):
                 ms_sel = np.flatnonzero(self._ms_route(queries))
         use_sparse = ms_sel is None and (
             self.strategy in ("sparse", "maxscore")
