@@ -155,29 +155,27 @@ def roofline_dense(seg, queries, k=16, stream=None):
     wq[:t] = np.repeat(np.arange(qn, dtype=np.int32), sizes)
     dw, tw = _active_widths(eng.stream.w_meta[wsrc_all])
     n_qb = _bucket(qn, 8)
-    # Per-iteration distinct filter masks: the tunnel may collapse
-    # byte-identical repeated dispatches, so each timed iteration must
-    # be a distinct computation (same shapes -> one compilation).
-    fms = [
-        jnp.full(n_docs + 1, 1.0 + 1e-6 * i, dtype=jnp.float32)
-        for i in range(8)
-    ]
+    # Per-iteration distinct s1_eff tables (the fused per-doc score
+    # table, search/stream.py): the tunnel may collapse byte-identical
+    # repeated dispatches, so each timed iteration must be a distinct
+    # computation (same shapes -> one compilation).
+    fms = [eng.dev_s1bd * (1.0 + 1e-6 * i) for i in range(8)]
     ws_d, wq_d = jnp.asarray(wsrc), jnp.asarray(wq)
 
     def run(i):
         return _jitted_stream_dense()(
-            eng.dev_words, eng.dev_doc_fn, eng.dev_s1,
+            eng.dev_words, fms[i],
             eng.dev_w_off, eng.dev_w_base, eng.dev_w_meta, eng.dev_w_s0,
-            ws_d, wq_d, fms[i], k=k, n_docs=n_docs, n_q=n_qb,
+            ws_d, wq_d, k=k, n_docs=n_docs, n_q=n_qb,
             dwidths=dw, twidths=tw,
         )
 
     dt = _timeit(run)
     # Bytes touched (HBM side): packed word gather (doc words always; tf
-    # words when any tf width is nonzero), u16 fieldnorm gather per lane,
-    # accumulator memset + scatter read-modify-write, window metadata.
+    # words when any tf width is nonzero), fused f32 s1_eff gather per
+    # lane, accumulator memset + scatter read-modify-write, window meta.
     gather_b = tb * 128 * 4 * (2 if tw else 1)
-    fn_gather = tb * 128 * 2
+    fn_gather = tb * 128 * 4
     acc_b = n_qb * (n_docs + 1) * 4 * 3
     meta_b = tb * 14
     total = gather_b + fn_gather + acc_b + meta_b
@@ -217,29 +215,30 @@ def roofline_sparse(seg, queries, k=16, stream=None):
         ids, qn = ids[:q_keep], q_keep
     dw, tw = _active_widths(eng.stream.w_meta[src])
     mt = int(max(1, n_terms.max(initial=1)))
-    fms = [
-        jnp.full(n_docs + 1, 1.0 + 1e-6 * i, dtype=jnp.float32)
-        for i in range(8)
-    ]
+    # Per-iteration distinct s1_eff tables (the fused per-doc score
+    # table, search/stream.py): the tunnel may collapse byte-identical
+    # repeated dispatches, so each timed iteration must be a distinct
+    # computation (same shapes -> one compilation).
+    fms = [eng.dev_s1bd * (1.0 + 1e-6 * i) for i in range(8)]
     ids_d = jnp.asarray(ids)
     kk = min(_bucket(k, 1), max(n_docs, 1))
 
     def run(i):
         return _jitted_stream_sparse()(
-            eng.dev_words, eng.dev_doc_fn, eng.dev_s1,
+            eng.dev_words, fms[i],
             eng.dev_w_off, eng.dev_w_base, eng.dev_w_meta, eng.dev_w_s0,
-            ids_d, fms[i], k=kk, n_docs=n_docs,
+            ids_d, k=kk, n_docs=n_docs,
             seg_steps=int(mt - 1).bit_length(), dwidths=dw, twidths=tw,
         )
 
     dt = _timeit(run)
     q, p_max = ids.shape
     lanes = q * p_max * 128
-    # Gather + fieldnorm + the dominating [q, p*128] sort passes (the
+    # Gather + fused s1_eff gather + the [q, p*128] sort passes (the
     # segmented sum and lexsort re-read the lane matrix ~2x log passes;
     # count the 8 B (doc, score) pairs x 2 passes as a floor estimate).
     gather_b = lanes * 4 * (2 if tw else 1)
-    fn_gather = lanes * 2
+    fn_gather = lanes * 4
     sort_b = lanes * 8 * 2
     total = gather_b + fn_gather + sort_b
     dev = jax.devices()[0].platform

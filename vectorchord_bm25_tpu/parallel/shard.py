@@ -714,7 +714,7 @@ class ShardedIndex:
         (index/stream.py) over the doc-sharded mesh.  Global statistics
         are baked into per-shard s0/impact bounds so sharded scores match
         the single-segment stream bit-for-bit."""
-        from ..index.stream import _DELETED_BIT, build_stream_index
+        from ..index.stream import build_stream_index
 
         streams = []
         for view in self.views:
@@ -742,9 +742,11 @@ class ShardedIndex:
         w_base = np.zeros((d, wmax + 1), dtype=np.int32)
         w_meta = np.zeros((d, wmax + 1), dtype=np.uint16)
         w_s0 = np.zeros((d, wmax + 1), dtype=np.float32)
-        # Pad slots (>= local n_docs) carry the deleted bit so padding
-        # and cross-shard tails score 0 without a live-mask gather.
-        doc_fn = np.full((d, nmax + 1), _DELETED_BIT, dtype=np.uint16)
+        # Fused per-doc s1 table (search/stream.py): s1[fieldnorm[d]]
+        # with +inf at deleted docs, pad slots, and cross-shard tails —
+        # scores collapse to exactly 0.0 through ONE per-lane gather
+        # (replacing the fieldnorm + s1-table + mask gather chain).
+        s1bd = np.full((d, nmax + 1), np.inf, dtype=np.float32)
         for i, st in enumerate(streams):
             words[i, : st.words.size] = st.words
             w = st.n_windows
@@ -754,7 +756,10 @@ class ShardedIndex:
             w_s0[i, :w] = st.w_s0
             # Pad windows: zero length, offset at the shard's zero tail.
             w_off[i, w:] = st.words.size - 64
-            doc_fn[i, : st.n_docs] = st.doc_fn[: st.n_docs]
+            fn = st.doc_fn[: st.n_docs]
+            s1bd[i, : st.n_docs] = np.where(
+                fn < 256, st.s1_table[fn & 0xFF], np.inf
+            ).astype(np.float32)
 
         sp = self._shard_put
         self.dev_st_words = sp(words)
@@ -762,7 +767,7 @@ class ShardedIndex:
         self.dev_st_w_base = sp(w_base)
         self.dev_st_w_meta = sp(w_meta)
         self.dev_st_w_s0 = sp(w_s0)
-        self.dev_st_doc_fn = sp(doc_fn)
+        self.dev_st_s1bd = sp(s1bd)
 
     def _build_stream_fn(self, k: int, n_q: int, dw, tw):
         import jax
@@ -776,15 +781,20 @@ class ShardedIndex:
         nmax = self._nmax
 
         def local_and_merge(
-            words, doc_fn,  # [1, ...]
+            words, s1bd,  # [1, ...]
             w_off, w_base, w_meta, w_s0,  # [1, Wm+1]
             doc_live, fmask, doc_offset,  # [1, ...]
             wsrc_s, wq_s,  # [1, T]
-            s1,  # [256] replicated
         ):
             wsrc, wq = wsrc_s[0], wq_s[0]
+            # Fold liveness + filter into the fused s1 table: one
+            # [nmax+1] pass, then ONE per-lane gather inside the
+            # decompressor (dead/filtered lanes score exactly 0.0).
+            s1_eff = jnp.where(
+                (doc_live[0] * fmask[0]) > 0.0, s1bd[0], jnp.inf
+            )
             doc, sc = _unpack_and_score(
-                words[0], doc_fn[0], s1,
+                words[0], s1_eff,
                 w_off[0][wsrc][:, None],
                 w_base[0][wsrc][:, None], w_meta[0][wsrc][:, None],
                 w_s0[0][wsrc][:, None], nmax,
@@ -794,9 +804,7 @@ class ShardedIndex:
             idx = wq[:, None] * jnp.int32(nmax + 1) + doc.reshape(t, 128)
             acc = jnp.zeros(n_q * (nmax + 1), dtype=jnp.float32)
             acc = acc.at[idx.reshape(-1)].add(sc.reshape(-1))
-            acc = acc.reshape(n_q, nmax + 1) * (
-                doc_live[0] * fmask[0]
-            )[None, :]
+            acc = acc.reshape(n_q, nmax + 1)
             if k > nmax:
                 masked = jnp.where(
                     acc[:, :nmax] > 0.0, acc[:, :nmax], -jnp.inf
@@ -826,7 +834,7 @@ class ShardedIndex:
         fn = shard_map(
             local_and_merge,
             mesh=self.mesh,
-            in_specs=tuple(P(axis) for _ in range(11)) + (P(),),
+            in_specs=tuple(P(axis) for _ in range(11)),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -929,7 +937,7 @@ class ShardedIndex:
             )
             s, i = fn(
                 self.dev_st_words,
-                self.dev_st_doc_fn,
+                self.dev_st_s1bd,
                 self.dev_st_w_off,
                 self.dev_st_w_base,
                 self.dev_st_w_meta,
@@ -939,7 +947,6 @@ class ShardedIndex:
                 self.dev_doc_offsets,
                 self._shard_put(wsrc),
                 self._shard_put(wq),
-                self.dev_s1,
             )
             scores[q0:q1] = np.asarray(s)[:nq, :kk]
             gids[q0:q1] = np.asarray(i)[:nq, :kk]
@@ -972,13 +979,18 @@ class ShardedIndex:
         nmax = self._nmax
 
         def local(
-            words, doc_fn, w_off, w_base, w_meta, w_s0,
-            doc_live, fmask, wsrc_s, s1,
+            words, s1bd, w_off, w_base, w_meta, w_s0,
+            doc_live, fmask, wsrc_s,
         ):
+            import jax.numpy as jnp
+
+            s1_eff = jnp.where(
+                (doc_live[0] * fmask[0]) > 0.0, s1bd[0], jnp.inf
+            )
             s, i = _stream_sparse(
-                words[0], doc_fn[0], s1,
+                words[0], s1_eff,
                 w_off[0], w_base[0], w_meta[0], w_s0[0],
-                wsrc_s[0], doc_live[0] * fmask[0],
+                wsrc_s[0],
                 k=c_pool, n_docs=nmax, seg_steps=seg_steps,
                 dwidths=dw, twidths=tw,
             )
@@ -987,7 +999,7 @@ class ShardedIndex:
         fn = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=tuple(P(axis) for _ in range(9)) + (P(),),
+            in_specs=tuple(P(axis) for _ in range(9)),
             out_specs=(P(axis), P(axis)),
             check_vma=False,
         )
@@ -1004,14 +1016,18 @@ class ShardedIndex:
         nmax = self._nmax
 
         def local(
-            words, doc_fn, w_off, w_base, w_meta, w_s0,
-            doc_live, fmask, cand_s, t_lo_s, t_hi_s, s1,
+            words, s1bd, w_off, w_base, w_meta, w_s0,
+            doc_live, fmask, cand_s, t_lo_s, t_hi_s,
         ):
+            import jax.numpy as jnp
+
+            s1_eff = jnp.where(
+                (doc_live[0] * fmask[0]) > 0.0, s1bd[0], jnp.inf
+            )
             s, i = _stream_rescore(
-                words[0], doc_fn[0], s1,
+                words[0], s1_eff,
                 w_off[0], w_base[0], w_meta[0], w_s0[0],
                 cand_s[0], t_lo_s[0], t_hi_s[0],
-                doc_live[0] * fmask[0],
                 k=k, n_docs=nmax, bs_steps=bs_steps,
                 dwidths=dw, twidths=tw,
             )
@@ -1020,7 +1036,7 @@ class ShardedIndex:
         fn = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=tuple(P(axis) for _ in range(11)) + (P(),),
+            in_specs=tuple(P(axis) for _ in range(11)),
             out_specs=(P(axis), P(axis)),
             check_vma=False,
         )
@@ -1184,11 +1200,11 @@ class ShardedIndex:
                     ),
                 )
                 s, i = fn(
-                    self.dev_st_words, self.dev_st_doc_fn,
+                    self.dev_st_words, self.dev_st_s1bd,
                     self.dev_st_w_off, self.dev_st_w_base,
                     self.dev_st_w_meta, self.dev_st_w_s0,
                     self.dev_doc_live, fmask_dev,
-                    self._shard_put(sub), self.dev_s1,
+                    self._shard_put(sub),
                 )
                 s = np.asarray(s)[:, : a1 - a0]
                 i = np.asarray(i, dtype=np.int64)[:, : a1 - a0]
@@ -1265,12 +1281,12 @@ class ShardedIndex:
                     ),
                 )
                 s, i = fn(
-                    self.dev_st_words, self.dev_st_doc_fn,
+                    self.dev_st_words, self.dev_st_s1bd,
                     self.dev_st_w_off, self.dev_st_w_base,
                     self.dev_st_w_meta, self.dev_st_w_s0,
                     self.dev_doc_live, fmask_dev,
                     self._shard_put(c_s), self._shard_put(tl),
-                    self._shard_put(th), self.dev_s1,
+                    self._shard_put(th),
                 )
                 rs[:, a0:a1] = np.asarray(s)[:, : a1 - a0, :k]
                 ri[:, a0:a1] = np.asarray(i, dtype=np.int64)[
@@ -1561,7 +1577,7 @@ class ShardedIndex:
                     self.dev_st_w_s0,
                 )
             )
-            doc_tables += int(np.asarray(self.dev_st_doc_fn).nbytes)
+            doc_tables += int(np.asarray(self.dev_st_s1bd).nbytes)
         n_post = max(
             1, sum(int(v.segment.block_n.sum()) for v in self.views)
         )
