@@ -62,10 +62,10 @@ class TestStreamIndex:
         wl = si.w_len.astype(np.int64)
         assert int((wl * si.w_dbits).max(initial=0)) <= 1024
         assert int((wl * si.w_tfbits).max(initial=0)) <= 1024
-        # The kernels fetch each window as ONE contiguous 32-word slice
-        # (search/stream.py fetch32), so every window's doc-word offset
-        # AND its derived tf-word offset must sit >= 32 words from the
-        # stream end — guaranteed by the builder's 64-word zero tail.
+        # The kernels fetch 32 contiguous words per window (off + iota),
+        # so every window's doc-word offset AND its derived tf-word
+        # offset must sit >= 32 words from the stream end — guaranteed
+        # by the builder's 64-word zero tail.
         if si.n_windows:
             toff = si.w_off4.astype(np.int64) + (
                 (wl * si.w_dbits + 31) >> 5
